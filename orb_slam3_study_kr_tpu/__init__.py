@@ -1,0 +1,30 @@
+"""TPU-native visual / visual-inertial / multi-map SLAM engine.
+
+A from-scratch re-design of the ORB-SLAM3 capability surface
+(reference: hanseongbugi/ORB_SLAM3_Study_kr) for TPU hardware:
+
+- perception kernels (ORB pyramid / FAST / BRIEF, Hamming matching) as
+  batched fixed-shape JAX + Pallas programs,
+- estimation (pose optimization, local/global bundle adjustment, Sim3 /
+  4-DoF pose graphs, IMU preintegration) as dense-block Gauss-Newton /
+  Levenberg-Marquardt solvers with Schur-complement landmark
+  marginalization,
+- the map (keyframes, landmarks, covisibility, Atlas) as structure-of-
+  array device tables with masks instead of pointer graphs and mutexes,
+- multi-chip scale via jax.sharding Mesh + shard_map collectives.
+
+Layer map (mirrors SURVEY.md section 1 of the reference):
+  lie/        L0  Lie groups (SO3/SE3/Sim3)           <- Thirdparty/Sophus
+  solvers/    L1+L4 GN/LM, Schur BA, pose graphs      <- Thirdparty/g2o + src/Optimizer.cc
+  bow/        L2  binary-descriptor place recognition <- Thirdparty/DBoW2
+  ops/        L3  perception kernels                  <- src/ORBextractor.cc, ORBmatcher.cc
+  cameras/    L3  camera models + two-view init       <- src/CameraModels, TwoViewReconstruction.cc
+  imu/        L4  preintegration                      <- src/ImuTypes.cc
+  slam_map/   L5  frames/keyframes/landmarks/Atlas    <- src/{Frame,KeyFrame,MapPoint,Map,Atlas}.cc
+  pipeline/   L6-L7 tracking / mapping / loop closing / System
+  io/         L9  dataset drivers, trajectory writers <- Examples/
+  evaluation/ L10 ATE evaluation                      <- evaluation/
+  parallel/   --  device-mesh sharding (new: reference is single-process)
+"""
+
+__version__ = "0.1.0"
