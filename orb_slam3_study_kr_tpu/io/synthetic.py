@@ -74,6 +74,25 @@ def circular_trajectory(n_frames, radius=1.5, z_amp=0.3, look_at=(0, 0, 8.0),
     return np.stack(Rs).astype(np.float32), np.stack(ts).astype(np.float32)
 
 
+def lateral_trajectory(n_frames, x_span=3.0, z_span=1.0, y_amp=0.2):
+    """EuRoC-machine-hall-like motion: mostly lateral + slight forward
+    translation with a fixed viewing direction (viewpoint-stable, the
+    regime ORB descriptors are designed for).  Returns (R_cw, t_cw)."""
+    Rs, ts = [], []
+    for i in range(n_frames):
+        a = i / max(n_frames - 1, 1)
+        c = np.array([
+            x_span * (a - 0.5),
+            y_amp * np.sin(4 * np.pi * a),
+            z_span * np.sin(np.pi * a) * 0.5,
+        ])
+        R_cw = np.eye(3)
+        t_cw = -c
+        Rs.append(R_cw)
+        ts.append(t_cw)
+    return np.stack(Rs).astype(np.float32), np.stack(ts).astype(np.float32)
+
+
 def render(scene: SyntheticScene, R_cw, t_cw, sigma=1.4, noise_std=2.0,
            rng=None, window=9):
     """Render one frame (H, W) float32 in [0, 255]."""
@@ -96,6 +115,8 @@ def render(scene: SyntheticScene, R_cw, t_cw, sigma=1.4, noise_std=2.0,
     for i in idxs:
         u, v = uv[i]
         cu, cv = int(round(u)), int(round(v))
+        if not (r <= cu < W - r and r <= cv < H - r):
+            continue
         ys = np.arange(cv - r, cv + r + 1)
         xs = np.arange(cu - r, cu + r + 1)
         dy = (ys - v)[:, None].astype(np.float32)
@@ -123,3 +144,122 @@ def render_sequence(scene, R_cw, t_cw, rng=None, **kw):
         img, uv, vis = render(scene, R_cw[i], t_cw[i], rng=rng, **kw)
         frames.append((img, uv, vis))
     return frames
+
+
+# ---------------------------------------------------------------------------
+# Textured world: planes with multi-octave texture, rendered by exact
+# ray-plane intersection.  Statistically much closer to real imagery than the
+# blob field (dense corners, distinctive local patterns), with exact pose
+# ground truth.  The blob scene stays for kernel tests needing known points.
+# ---------------------------------------------------------------------------
+
+
+def _multi_octave_texture(rng, size=2048, octaves=6, persistence=0.55):
+    tex = np.zeros((size, size), np.float32)
+    amp = 1.0
+    for o in range(octaves):
+        n = max(4, size >> (octaves - 1 - o))
+        layer = rng.normal(0, 1, (n, n)).astype(np.float32)
+        # Upsample by bilinear interpolation to full size.
+        yi = np.linspace(0, n - 1, size)
+        xi = np.linspace(0, n - 1, size)
+        y0 = np.floor(yi).astype(int)
+        x0 = np.floor(xi).astype(int)
+        y1 = np.minimum(y0 + 1, n - 1)
+        x1 = np.minimum(x0 + 1, n - 1)
+        wy = (yi - y0)[:, None]
+        wx = (xi - x0)[None, :]
+        up = (
+            layer[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+            + layer[np.ix_(y1, x0)] * wy * (1 - wx)
+            + layer[np.ix_(y0, x1)] * (1 - wy) * wx
+            + layer[np.ix_(y1, x1)] * wy * wx
+        )
+        tex += amp * up
+        amp *= persistence
+    tex -= tex.min()
+    tex *= 235.0 / max(tex.max(), 1e-9)
+    return tex + 10.0
+
+
+@dataclass
+class TexturedWorld:
+    """Planes z = d0 + nx*x + ny*y (in world coords) carrying textures."""
+    planes: list          # list of dicts: point p0, normal n, basis (e1, e2), tex, scale
+    K: np.ndarray
+    width: int
+    height: int
+
+
+def make_textured_world(rng, K=None, width=752, height=480, depth=6.0):
+    if K is None:
+        K = np.array([[458.0, 0, width / 2], [0, 457.0, height / 2], [0, 0, 1.0]])
+    planes = []
+    # Two walls forming a shallow V (avoids pure-plane degeneracy), plus a
+    # floor — a corridor-corner-like world.
+    specs = [
+        (np.array([-2.5, 0.0, depth + 1.5]), np.array([0.6, 0.0, -1.0])),
+        (np.array([2.5, 0.0, depth + 1.5]), np.array([-0.6, 0.0, -1.0])),
+        (np.array([0.0, 2.2, depth]), np.array([0.0, -1.0, -0.25])),
+    ]
+    for p0, n in specs:
+        n = n / np.linalg.norm(n)
+        e1 = np.cross(n, [0.0, 1.0, 0.0])
+        if np.linalg.norm(e1) < 0.1:
+            e1 = np.cross(n, [1.0, 0.0, 0.0])
+        e1 /= np.linalg.norm(e1)
+        e2 = np.cross(n, e1)
+        planes.append(dict(
+            p0=p0.astype(np.float64), n=n.astype(np.float64),
+            e1=e1.astype(np.float64), e2=e2.astype(np.float64),
+            tex=_multi_octave_texture(rng), scale=120.0,
+        ))
+    return TexturedWorld(planes=planes, K=K.astype(np.float32),
+                         width=width, height=height)
+
+
+def render_textured(world: TexturedWorld, R_cw, t_cw, noise_std=1.5, rng=None):
+    """Render one frame by ray casting to the nearest plane (bilinear texture
+    lookup).  Returns (H, W) float32."""
+    H, W = world.height, world.width
+    K = world.K
+    ys, xs = np.mgrid[0:H, 0:W]
+    rays_c = np.stack(
+        [(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1], np.ones_like(xs, np.float64)],
+        axis=-1,
+    )
+    R_wc = R_cw.T
+    c = -R_wc @ t_cw  # camera center in world
+    rays_w = rays_c @ R_wc.T  # (H, W, 3)
+
+    best_t = np.full((H, W), np.inf)
+    img = np.full((H, W), 25.0, np.float32)
+    for pl in world.planes:
+        denom = rays_w @ pl["n"]
+        tt = ((pl["p0"] - c) @ pl["n"]) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        hit = (tt > 0.1) & (tt < best_t)
+        if not hit.any():
+            continue
+        pts = c + rays_w * tt[..., None]
+        d = pts - pl["p0"]
+        u = (d @ pl["e1"]) * pl["scale"] + pl["tex"].shape[1] / 2
+        v = (d @ pl["e2"]) * pl["scale"] + pl["tex"].shape[0] / 2
+        tex = pl["tex"]
+        th, tw = tex.shape
+        u = np.clip(u, 0, tw - 1.001)
+        v = np.clip(v, 0, th - 1.001)
+        u0 = u.astype(int)
+        v0 = v.astype(int)
+        fu = (u - u0).astype(np.float32)
+        fv = (v - v0).astype(np.float32)
+        val = (
+            tex[v0, u0] * (1 - fv) * (1 - fu)
+            + tex[v0 + 1, u0] * fv * (1 - fu)
+            + tex[v0, u0 + 1] * (1 - fv) * fu
+            + tex[v0 + 1, u0 + 1] * fv * fu
+        )
+        img = np.where(hit, val.astype(np.float32), img)
+        best_t = np.where(hit, tt, best_t)
+    if rng is not None and noise_std > 0:
+        img = img + rng.normal(0, noise_std, img.shape).astype(np.float32)
+    return np.clip(img, 0, 255)

@@ -58,7 +58,21 @@ def _make_pattern(seed: int = 42) -> np.ndarray:
     return np.round(pat).astype(np.int32)
 
 
-PATTERN = _make_pattern()
+def _load_pattern() -> np.ndarray:
+    """Use the trained rBRIEF-style pattern (greedy mean-0.5 / decorrelation
+    selection over oriented patches, ORB paper sec. 4.3 method) when present,
+    else the seeded Gaussian pattern."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "orb_pattern.npy")
+    if os.path.exists(path):
+        pat = np.load(path)
+        if pat.shape == (DESC_BITS, 2, 2):
+            return pat.astype(np.int32)
+    return _make_pattern()
+
+
+PATTERN = _load_pattern()
 
 
 def _orientation_disc_mask() -> np.ndarray:
@@ -198,6 +212,29 @@ def select_keypoints(score20, score7, quota, cell, topk):
     return sel_x, sel_y, top_vals, valid
 
 
+def subpixel_refine(score_raw, xs, ys):
+    """Parabolic 3x3 sub-pixel refinement on the (pre-NMS) score map.
+
+    The reference keeps integer FAST corners; the ~0.3 px quantization that
+    costs mono accuracy is cheap to remove on TPU: one gather + closed-form
+    1-D parabola per axis, offsets clamped to +-0.5."""
+
+    def one(y, x):
+        c = score_raw[y, x]
+        l = score_raw[y, x - 1]
+        r = score_raw[y, x + 1]
+        u = score_raw[y - 1, x]
+        d = score_raw[y + 1, x]
+        denx = 2.0 * c - l - r
+        deny = 2.0 * c - u - d
+        dx = jnp.where(jnp.abs(denx) > 1e-6, 0.5 * (r - l) / denx, 0.0)
+        dy = jnp.where(jnp.abs(deny) > 1e-6, 0.5 * (d - u) / deny, 0.0)
+        return jnp.clip(dx, -0.5, 0.5), jnp.clip(dy, -0.5, 0.5)
+
+    dx, dy = jax.vmap(one)(ys, xs)
+    return xs.astype(jnp.float32) + dx, ys.astype(jnp.float32) + dy
+
+
 def gather_patches(img, xs, ys, radius):
     """(N, 2r+1, 2r+1) patches centered at integer (ys, xs); the image is
     pre-padded so border keypoints gather safely."""
@@ -292,17 +329,18 @@ def build_pyramid(img, cfg: OrbConfig):
 
 
 def extract_level(img_l, quota, cfg: OrbConfig):
-    s7 = fast_score_map(img_l, float(cfg.fast_min_threshold))
-    s20 = jnp.where(s7 > cfg.fast_threshold, s7, 0.0)
+    s_raw = fast_score_map(img_l, float(cfg.fast_min_threshold))
+    s20 = jnp.where(s_raw > cfg.fast_threshold, s_raw, 0.0)
     border = _border_mask(*img_l.shape, EDGE_MARGIN - 3)
-    s7 = jnp.where(border, _nms3x3(s7), 0.0)
+    s7 = jnp.where(border, _nms3x3(s_raw), 0.0)
     s20 = jnp.where(border, _nms3x3(s20), 0.0)
     xs, ys, resp, valid = select_keypoints(
         s20, s7, quota, cfg.cell_size, cfg.cell_topk
     )
+    xf, yf = subpixel_refine(s_raw, xs, ys)
     angle = compute_orientation(img_l, xs, ys)
     desc = compute_descriptors(gaussian_blur7(img_l), xs, ys, angle)
-    return xs, ys, resp, valid, angle, desc
+    return xf, yf, resp, valid, angle, desc
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -315,9 +353,16 @@ def extract_orb(img, cfg: OrbConfig) -> OrbFeatures:
         if q == 0:
             continue
         xs, ys, resp, valid, angle, desc = extract_level(pyr[l], q, cfg)
-        scale = cfg.level_scales[l]
-        uvs.append(jnp.stack([xs.astype(jnp.float32) * scale,
-                              ys.astype(jnp.float32) * scale], axis=-1))
+        # Pixel-center alignment: level pixel x maps to level-0 coordinate
+        # (x + 0.5) * ratio - 0.5 with the *actual* per-axis resize ratio
+        # (nominal 1.2^l drifts from the rounded level sizes).  Without this
+        # every level carries a constant ~0.5*(ratio-1) px offset and level
+        # hopping turns it into view-dependent measurement error.
+        h_l, w_l = cfg.level_sizes[l]
+        sx = cfg.width / w_l
+        sy = cfg.height / h_l
+        uvs.append(jnp.stack([(xs + 0.5) * sx - 0.5,
+                              (ys + 0.5) * sy - 0.5], axis=-1))
         resps.append(resp)
         angles.append(angle)
         levels.append(jnp.full((q,), l, jnp.int32))

@@ -1,0 +1,40 @@
+"""Per-frame container: extracted features + pose + landmark bindings.
+
+Host-side record (reference src/Frame.cc); heavy work (extraction,
+undistortion) happens in jitted ops before this is built.
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM
+
+
+@dataclass
+class Frame:
+    frame_id: int
+    timestamp: float
+    uv: np.ndarray        # (N, 2) undistorted pixel coords
+    level: np.ndarray     # (N,)
+    angle: np.ndarray     # (N,)
+    response: np.ndarray  # (N,)
+    desc: np.ndarray      # (N, 256) uint8
+    valid: np.ndarray     # (N,) bool
+    R_cw: np.ndarray = None
+    t_cw: np.ndarray = None
+    kp_lm: np.ndarray = None   # (N,) landmark binding, NO_LM if none
+    ref_kf: int = -1
+    pose_ok: bool = False
+
+    def __post_init__(self):
+        if self.kp_lm is None:
+            self.kp_lm = np.full(self.uv.shape[0], NO_LM, np.int32)
+
+    @property
+    def n_matches(self):
+        return int((self.kp_lm != NO_LM).sum())
+
+    def bound_obs(self):
+        kp = np.nonzero(self.kp_lm != NO_LM)[0].astype(np.int32)
+        return kp, self.kp_lm[kp]

@@ -1,0 +1,294 @@
+"""Local mapping: triangulation of new landmarks, duplicate fusion, recent-
+landmark culling, and windowed bundle adjustment.
+
+Deterministic, synchronous re-design of the reference's LocalMapping thread
+(/root/reference/src/LocalMapping.cc): `run_once` performs one queue drain —
+ProcessNewKeyFrame (:306), MapPointCulling (:354), CreateNewMapPoints
+(:398), SearchInNeighbors fusion (:743), local BA (:154) — with the same
+acceptance gates, but each step is a fixed-shape jit op over the SoA map.
+"""
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_study_kr_tpu.ops import track_match, triangulation_match
+from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM, MapState
+from orb_slam3_study_kr_tpu.solvers import bundle_adjust
+from orb_slam3_study_kr_tpu.solvers.robust import CHI2_MONO
+
+
+def _bucket(n, step):
+    return max(step, -(-n // step) * step)
+
+
+@dataclass
+class LocalMapper:
+    cfg: "TrackerConfig"
+    map: MapState
+    n_neighbors: int = 20        # covisible keyframes used for triangulation
+    ba_window: int = 12          # optimized keyframes in local BA
+    ba_iters: int = 8
+    recent: list = field(default_factory=list)  # (lm_id, created_kf)
+    queue: list = field(default_factory=list)
+    stats: dict = field(default_factory=lambda: {"n_created": 0, "n_culled": 0,
+                                                 "n_fused": 0, "n_ba": 0})
+
+    def note_new_keyframe(self, kf_id: int):
+        self.queue.append(kf_id)
+
+    def run_once(self):
+        while self.queue:
+            kf = self.queue.pop(0)
+            self._process(kf)
+
+    # ------------------------------------------------------------------
+    def _process(self, kf: int):
+        m = self.map
+        if m.n_kf < 2:
+            return
+        self._cull_recent(kf)
+        self._create_new_landmarks(kf)
+        self._fuse_neighbors(kf)
+        if m.n_kf >= 3:
+            self._local_ba(kf)
+
+    # ------------------------------------------------------------------
+    def _cull_recent(self, kf: int):
+        """MapPointCulling: drop recent landmarks with found/visible < 0.25
+        or too few observations a couple of keyframes after creation."""
+        m = self.map
+        obs = m.landmark_obs_count()
+        keep, kill = [], []
+        for lm, born in self.recent:
+            if not m.lm_valid[lm]:
+                continue
+            ratio = m.lm_found[lm] / max(m.lm_visible[lm], 1)
+            age = kf - born
+            if ratio < 0.25:
+                kill.append(lm)
+            elif age >= 2 and obs[lm] <= 2:
+                kill.append(lm)
+            elif age >= 3:
+                pass  # graduated
+            else:
+                keep.append((lm, born))
+        self.recent = keep
+        if kill:
+            m.remove_landmarks(np.array(kill))
+            self.stats["n_culled"] += len(kill)
+
+    # ------------------------------------------------------------------
+    def _create_new_landmarks(self, kf: int):
+        cfg, m = self.cfg, self.map
+        neighbors, _ = m.covisibility(kf, min_shared=10)
+        neighbors = neighbors[: self.n_neighbors]
+        if neighbors.size == 0 and m.n_kf >= 2:
+            neighbors = np.array([kf - 1], np.int32)
+        free1 = m.kf_kp_valid[kf] & (m.kf_kp_lm[kf] == NO_LM)
+        center1 = m.kf_center(kf)
+        for nb in neighbors:
+            nb = int(nb)
+            # Baseline / median-depth ratio gate (CreateNewMapPoints skips
+            # neighbors closer than 1% of scene depth).
+            baseline = np.linalg.norm(m.kf_center(nb) - center1)
+            lms_nb = m.kf_kp_lm[nb]
+            lms_nb = lms_nb[lms_nb != NO_LM]
+            if lms_nb.size:
+                p = m.lm_pos[lms_nb] @ m.kf_R[nb].T + m.kf_t[nb]
+                med_depth = np.median(p[:, 2])
+                if baseline / max(med_depth, 1e-9) < 0.01:
+                    continue
+            free2 = m.kf_kp_valid[nb] & (m.kf_kp_lm[nb] == NO_LM)
+            out = triangulation_match.match_and_triangulate(
+                jnp.asarray(m.kf_R[kf]), jnp.asarray(m.kf_t[kf]),
+                jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]),
+                self.cfg.K,
+                jnp.asarray(m.kf_kp_uv[kf]), jnp.asarray(m.kf_kp_level[kf]),
+                jnp.asarray(m.kf_desc[kf]), jnp.asarray(free1),
+                jnp.asarray(m.kf_kp_uv[nb]), jnp.asarray(m.kf_kp_level[nb]),
+                jnp.asarray(m.kf_desc[nb]), jnp.asarray(free2),
+                angle1=jnp.asarray(m.kf_kp_angle[kf]),
+                angle2=jnp.asarray(m.kf_kp_angle[nb]),
+            )
+            good = np.asarray(out["good"])
+            if not good.any():
+                continue
+            kp1 = np.nonzero(good)[0].astype(np.int32)
+            kp2 = np.asarray(out["idx2"])[kp1]
+            X = np.asarray(out["X"])[kp1]
+            lm_ids = m.add_landmarks(X, m.kf_desc[kf, kp1], kf)
+            m.bind(kf, kp1, lm_ids)
+            m.bind(nb, kp2, lm_ids)
+            m.update_landmark_stats(lm_ids)
+            self.recent.extend((int(l), kf) for l in lm_ids)
+            self.stats["n_created"] += lm_ids.size
+            free1 = m.kf_kp_valid[kf] & (m.kf_kp_lm[kf] == NO_LM)
+
+    # ------------------------------------------------------------------
+    def _fuse_neighbors(self, kf: int):
+        """SearchInNeighbors: project this keyframe's landmarks into its
+        covisible neighbors; bind free keypoints, and resolve duplicates in
+        favor of the landmark with more observations."""
+        cfg, m = self.cfg, self.map
+        neighbors, _ = m.covisibility(kf, min_shared=10)
+        neighbors = neighbors[:10]
+        lms_kf = m.kf_kp_lm[kf]
+        lms_kf = np.unique(lms_kf[lms_kf != NO_LM])
+        if lms_kf.size == 0:
+            return
+        obs = m.landmark_obs_count()
+        for nb in neighbors:
+            nb = int(nb)
+            cand = lms_kf[~np.isin(lms_kf, m.kf_kp_lm[nb])]
+            if cand.size == 0:
+                continue
+            L = 1024
+            cand = cand[:L]
+
+            def pad(a, fill=0):
+                if a.shape[0] >= L:
+                    return a[:L]
+                return np.concatenate(
+                    [a, np.full((L - a.shape[0], *a.shape[1:]), fill, a.dtype)]
+                )
+
+            lm_slot, ok, _ = track_match.match_local_map(
+                cfg.project_fn, jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]),
+                jnp.asarray(pad(m.lm_pos[cand])),
+                jnp.asarray(pad(m.lm_normal[cand])),
+                jnp.asarray(pad(m.lm_min_dist[cand])),
+                jnp.asarray(pad(m.lm_max_dist[cand])),
+                jnp.asarray(pad(m.lm_desc[cand])),
+                jnp.asarray(pad(np.ones(cand.size, np.float32))),
+                jnp.asarray(m.kf_kp_uv[nb]), jnp.asarray(m.kf_kp_level[nb]),
+                jnp.asarray(m.kf_desc[nb]),
+                jnp.asarray(m.kf_kp_valid[nb]),
+                cfg.width, cfg.height, th=3.0, max_dist=50.0,
+            )
+            lm_slot = np.asarray(lm_slot)
+            ok = np.asarray(ok)
+            for kp in np.nonzero(ok)[0]:
+                lm_new = int(cand[min(lm_slot[kp], cand.size - 1)])
+                lm_old = int(m.kf_kp_lm[nb, kp])
+                if lm_old == NO_LM:
+                    m.kf_kp_lm[nb, kp] = lm_new
+                    self.stats["n_fused"] += 1
+                elif lm_old != lm_new and m.lm_valid[lm_old]:
+                    # Keep the landmark with more observations, replace the
+                    # other everywhere (MapPoint::Replace).
+                    a, b = (lm_new, lm_old) if obs[lm_new] >= obs[lm_old] else (lm_old, lm_new)
+                    m.kf_kp_lm[m.kf_kp_lm == b] = a
+                    m.lm_valid[b] = False
+                    self.stats["n_fused"] += 1
+        m.n_lm = int(m.lm_valid.sum())
+        m.update_landmark_stats(lms_kf)
+
+    # ------------------------------------------------------------------
+    def _local_ba(self, kf: int):
+        cfg, m = self.cfg, self.map
+        neighbors, _ = m.covisibility(kf, min_shared=1)
+        window = np.concatenate([[kf], neighbors[: self.ba_window - 1]]).astype(np.int32)
+        # Landmarks seen from the window.
+        lms = np.unique(m.kf_kp_lm[window])
+        lms = lms[(lms != NO_LM) & m.lm_valid[np.maximum(lms, 0)]]
+        if lms.size < 20:
+            return
+        # Fixed keyframes: any other keyframe observing those landmarks.
+        seen = np.zeros(m.max_lm, bool)
+        seen[lms] = True
+        observing = (seen[m.kf_kp_lm] & (m.kf_kp_lm != NO_LM)).any(axis=1)
+        observing &= m.kf_valid
+        fixed_ids = np.nonzero(observing)[0]
+        fixed_ids = fixed_ids[~np.isin(fixed_ids, window)]
+        all_kf = np.concatenate([window, fixed_ids]).astype(np.int32)
+        fixed = np.concatenate(
+            [np.zeros(window.size), np.ones(fixed_ids.size)]
+        ).astype(np.float32)
+        # The oldest two keyframes anchor the gauge (reference fixes kf 0/1).
+        anchor = np.nonzero(np.isin(window, [0, 1]))[0]
+        fixed[anchor] = 1.0
+        if fixed.sum() < 2:
+            # Monocular scale is a gauge direction: with fewer than two
+            # anchored poses the window's scale is free and drifts under LM
+            # damping.  Freeze the two oldest window keyframes (their
+            # baseline pins the scale).
+            order = np.argsort(window)
+            need = 2 - int(fixed.sum())
+            for o in order:
+                if fixed[o] == 0 and need > 0:
+                    fixed[o] = 1.0
+                    need -= 1
+
+        okf, okp, olm = m.observations(all_kf)
+        keep = seen[olm]
+        okf, okp, olm = okf[keep], okp[keep], olm[keep]
+
+        kf_index = np.full(m.max_kf, -1, np.int64)
+        kf_index[all_kf] = np.arange(all_kf.size)
+        lm_index = np.full(m.max_lm, -1, np.int64)
+        lm_index[lms] = np.arange(lms.size)
+
+        # Bucketed padding to bound recompilation.
+        K = _bucket(all_kf.size, 8)
+        M = _bucket(lms.size, 2048)
+        O = _bucket(okf.size, 8192)
+
+        def padr(a, n, fill=0):
+            return np.concatenate(
+                [a, np.full((n - a.shape[0], *a.shape[1:]), fill, a.dtype)]
+            ) if a.shape[0] < n else a[:n]
+
+        R_all = padr(m.kf_R[all_kf], K, 0)
+        R_all[all_kf.size:] = np.eye(3)
+        t_all = padr(m.kf_t[all_kf], K)
+        fixed_p = padr(fixed, K, 1.0)
+        X = padr(m.lm_pos[lms], M)
+        lm_mask = padr(np.ones(lms.size, np.float32), M)
+        op = padr(kf_index[okf].astype(np.int32), O)
+        ol = padr(lm_index[olm].astype(np.int32), O)
+        ouv = padr(m.kf_kp_uv[okf, okp], O)
+        olev = padr(m.kf_kp_level[okf, okp], O)
+        omask = padr(np.ones(okf.size, np.float32), O)
+
+        R, t, X_new, chi2, cost = bundle_adjust(
+            cfg.project_fn, cfg.project_jac_fn,
+            jnp.asarray(R_all), jnp.asarray(t_all), jnp.asarray(fixed_p),
+            jnp.asarray(X), jnp.asarray(lm_mask),
+            jnp.asarray(op), jnp.asarray(ol), jnp.asarray(ouv),
+            jnp.asarray(olev), jnp.asarray(omask),
+            n_iters=self.ba_iters,
+        )
+        upd = window[fixed[: window.size] == 0]
+        sel = kf_index[upd].astype(np.int64)
+        m.kf_R[upd] = np.asarray(R)[sel]
+        m.kf_t[upd] = np.asarray(t)[sel]
+        m.lm_pos[lms] = np.asarray(X_new)[: lms.size]
+        # Cull outlier observations at the chi2 gate (post-BA erase loop).
+        # bundle_adjust returns sigma-normalized chi2 already.
+        chi2 = np.asarray(chi2)[: okf.size]
+        bad = chi2 > CHI2_MONO
+        m.kf_kp_lm[okf[bad], okp[bad]] = NO_LM
+        # Landmarks left with < 2 observations are dead (the reference's
+        # MapPoint::EraseObservation -> SetBadFlag cascade), and landmarks
+        # the solve launched to absurd range are degenerate — both poison
+        # future matching if left in the map.
+        obs_after = m.landmark_obs_count()
+        centers = -np.einsum("kij,kj->ki", m.kf_R[window].transpose(0, 2, 1),
+                             m.kf_t[window])
+        scene_scale = max(float(np.linalg.norm(
+            m.lm_pos[lms] - centers.mean(0), axis=1).mean()), 1e-6)
+        dist = np.linalg.norm(m.lm_pos - centers.mean(0), axis=1)
+        insane = m.lm_valid & (
+            (dist > 50.0 * scene_scale) | ~np.isfinite(m.lm_pos).all(axis=1)
+        )
+        orphan = m.lm_valid & (obs_after < 2)
+        kill = np.nonzero(orphan | insane)[0]
+        if kill.size:
+            m.remove_landmarks(kill)
+            self.stats["n_culled"] += int(kill.size)
+        m.change_idx += 1
+        self.stats["n_ba"] += 1
+        self.stats["n_obs_culled"] = self.stats.get("n_obs_culled", 0) + int(bad.sum())
+        self.stats["n_obs_kept"] = self.stats.get("n_obs_kept", 0) + int((~bad).sum())

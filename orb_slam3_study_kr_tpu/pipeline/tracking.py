@@ -1,0 +1,546 @@
+"""Monocular tracking front end.
+
+Host orchestration of the jitted stages, mirroring the state machine of
+/root/reference/src/Tracking.cc: monocular initialization (Tracking.cc:2469),
+motion-model tracking (:2880), reference-keyframe fallback (:2745),
+local-map tracking (:2977), keyframe decision (:3097).  All heavy compute
+(ORB extraction, matching, pose solves) runs as fixed-shape jit ops; this
+file only moves indices around.
+"""
+
+import enum
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_study_kr_tpu.cameras import pinhole
+from orb_slam3_study_kr_tpu.cameras.twoview import reconstruct_two_views
+from orb_slam3_study_kr_tpu.lie import se3
+from orb_slam3_study_kr_tpu.ops import matching, orb, track_match
+from orb_slam3_study_kr_tpu.pipeline.frame import Frame
+from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM, MapState
+from orb_slam3_study_kr_tpu.solvers import bundle_adjust, optimize_pose
+
+
+class TrackState(enum.Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    RECENTLY_LOST = 2
+    LOST = 3
+
+
+@dataclass
+class TrackerConfig:
+    width: int = 752
+    height: int = 480
+    fx: float = 458.0
+    fy: float = 457.0
+    cx: float = 376.0
+    cy: float = 240.0
+    dist: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)  # k1 k2 p1 p2 k3
+    fps: float = 20.0
+    n_features: int = 1000
+    min_init_matches: int = 100
+    min_track_matches: int = 12
+    min_local_inliers: int = 25
+    kf_ref_ratio: float = 0.9
+    kf_min_gap: int = 2          # min frames between keyframes
+    init_min_parallax: float = 1.5  # degrees; reference uses 1.0
+    local_map_size: int = 4096
+    seed: int = 0
+
+    @functools.cached_property
+    def cam_params(self):
+        return jnp.asarray(
+            [self.fx, self.fy, self.cx, self.cy, *self.dist], jnp.float32
+        )
+
+    @functools.cached_property
+    def ideal_params(self):
+        return jnp.asarray(
+            [self.fx, self.fy, self.cx, self.cy, 0, 0, 0, 0, 0], jnp.float32
+        )
+
+    @functools.cached_property
+    def K(self):
+        return jnp.asarray(
+            [[self.fx, 0, self.cx], [0, self.fy, self.cy], [0, 0, 1.0]], jnp.float32
+        )
+
+    @functools.cached_property
+    def orb_config(self):
+        return orb.OrbConfig(
+            n_features=self.n_features, height=self.height, width=self.width
+        )
+
+    @functools.cached_property
+    def project_fn(self):
+        return functools.partial(pinhole.project, self.ideal_params)
+
+    @functools.cached_property
+    def project_jac_fn(self):
+        return functools.partial(pinhole.project_jac, self.ideal_params)
+
+
+@jax.jit
+def _undistort(cam_params, ideal_params, uv):
+    rays = pinhole.unproject(cam_params, uv)
+    return pinhole.project(ideal_params, rays)
+
+
+def _pad_rows(a, n, fill=0):
+    if a.shape[0] >= n:
+        return a[:n]
+    pad = np.full((n - a.shape[0], *a.shape[1:]), fill, a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+class MonoTracker:
+    """Tracking + (synchronous) mapping driver for one monocular camera."""
+
+    def __init__(self, cfg: TrackerConfig, slam_map: MapState, local_mapper=None):
+        self.cfg = cfg
+        self.map = slam_map
+        self.local_mapper = local_mapper
+        self.state = TrackState.NOT_INITIALIZED
+        self.init_ref: Frame | None = None
+        self.last_frame: Frame | None = None
+        self.velocity = None  # (R, t) of T_cw(t) . T_wc(t-1)
+        self.frame_count = 0
+        self.last_kf_frame_id = -1
+        self.ref_kf = -1
+        self.trajectory = []  # (timestamp, ref_kf, T_rel_4x4, state)
+        self._key = jax.random.PRNGKey(cfg.seed)
+        self.stats = {"n_frames": 0, "n_kf": 0, "track_fail": 0,
+                      "mm_fail": 0, "refkf_fail": 0, "local_fail": 0}
+
+    # ------------------------------------------------------------------
+    def process(self, img, timestamp) -> Frame:
+        cfg = self.cfg
+        feats = orb.extract_orb(jnp.asarray(img, jnp.float32), cfg.orb_config)
+        uv_und = _undistort(cfg.cam_params, cfg.ideal_params, feats.uv)
+        frame = Frame(
+            frame_id=self.frame_count,
+            timestamp=timestamp,
+            uv=np.asarray(uv_und),
+            level=np.asarray(feats.level),
+            angle=np.asarray(feats.angle),
+            response=np.asarray(feats.response),
+            desc=np.asarray(feats.desc),
+            valid=np.asarray(feats.valid),
+        )
+        self.frame_count += 1
+        self.stats["n_frames"] += 1
+
+        if self.state == TrackState.NOT_INITIALIZED:
+            self._monocular_initialization(frame)
+        else:
+            self._track(frame)
+
+        self._record_trajectory(frame)
+        self.last_frame = frame
+        return frame
+
+    # ------------------------------------------------------------------
+    def _monocular_initialization(self, frame: Frame):
+        cfg = self.cfg
+        if self.init_ref is None or self.init_ref.valid.sum() < cfg.min_init_matches:
+            self.init_ref = frame
+            return
+        ref = self.init_ref
+        idx, ok, _ = matching.search_for_initialization(
+            jnp.asarray(ref.uv), jnp.asarray(ref.desc), jnp.asarray(ref.angle),
+            jnp.asarray(ref.valid),
+            jnp.asarray(frame.uv), jnp.asarray(frame.desc),
+            jnp.asarray(frame.angle), jnp.asarray(frame.valid),
+        )
+        idx = np.asarray(idx)
+        ok = np.asarray(ok)
+        if ok.sum() < cfg.min_init_matches:
+            self.init_ref = frame
+            return
+        self._key, sub = jax.random.split(self._key)
+        uv2 = frame.uv[idx]
+        out = reconstruct_two_views(
+            sub, jnp.asarray(ref.uv), jnp.asarray(uv2),
+            jnp.asarray(ok.astype(np.float32)), self.cfg.K,
+        )
+        if not bool(out["success"]):
+            return
+        if float(out["parallax_deg"]) < cfg.init_min_parallax:
+            # Keep waiting: more baseline means far better initial structure.
+            return
+        R21 = np.asarray(out["R21"])
+        t21 = np.asarray(out["t21"])
+        pts = np.asarray(out["pts3d"])
+        good = np.asarray(out["good"]) & ok
+
+        # Scale so median depth = 1 (CreateInitialMapMonocular's
+        # invMedianDepth normalization).
+        depths = pts[good][:, 2]
+        med = float(np.median(depths))
+        if med <= 0:
+            return
+        pts = pts / med
+        t21 = t21 / med
+
+        m = self.map
+        eye = np.eye(3, dtype=np.float32)
+        kf0 = m.add_keyframe(eye, np.zeros(3, np.float32), ref.uv, ref.level,
+                             ref.angle, ref.valid, ref.desc, ref.frame_id,
+                             ref.timestamp)
+        kf1 = m.add_keyframe(R21.astype(np.float32), t21.astype(np.float32),
+                             frame.uv, frame.level, frame.angle, frame.valid,
+                             frame.desc, frame.frame_id, frame.timestamp)
+        gi = np.nonzero(good)[0].astype(np.int32)
+        lm_ids = m.add_landmarks(pts[gi].astype(np.float32), ref.desc[gi], kf0)
+        m.bind(kf0, gi, lm_ids)
+        m.bind(kf1, idx[gi], lm_ids)
+        m.update_landmark_stats(lm_ids)
+
+        # Global BA over the 2-keyframe map (20 iterations, kf0 fixed).
+        self._initial_global_ba(kf0, kf1)
+
+        frame.R_cw = m.kf_R[kf1].copy()
+        frame.t_cw = m.kf_t[kf1].copy()
+        frame.kp_lm[idx[gi]] = lm_ids
+        frame.pose_ok = True
+        frame.ref_kf = kf1
+        self.ref_kf = kf1
+        self.last_kf_frame_id = frame.frame_id
+        self.state = TrackState.OK
+        self.stats["n_kf"] = 2
+        if self.local_mapper is not None:
+            self.local_mapper.note_new_keyframe(kf0)
+            self.local_mapper.note_new_keyframe(kf1)
+
+    def _initial_global_ba(self, kf0, kf1):
+        cfg, m = self.cfg, self.map
+        okf, okp, olm = m.observations([kf0, kf1])
+        lm_set = np.unique(olm)
+        lm_index = np.full(m.max_lm, -1, np.int64)
+        lm_index[lm_set] = np.arange(lm_set.size)
+        O = okf.shape[0]
+        R, t, X, chi2, _ = bundle_adjust(
+            cfg.project_fn, cfg.project_jac_fn,
+            jnp.asarray(m.kf_R[[kf0, kf1]]), jnp.asarray(m.kf_t[[kf0, kf1]]),
+            jnp.asarray([1.0, 0.0]),
+            jnp.asarray(m.lm_pos[lm_set]), jnp.ones(lm_set.size),
+            jnp.asarray((okf == kf1).astype(np.int32)),
+            jnp.asarray(lm_index[olm].astype(np.int32)),
+            jnp.asarray(m.kf_kp_uv[okf, okp]),
+            jnp.asarray(m.kf_kp_level[okf, okp]),
+            jnp.ones(O),
+            n_iters=20,
+        )
+        m.kf_R[[kf0, kf1]] = np.asarray(R)
+        m.kf_t[[kf0, kf1]] = np.asarray(t)
+        m.lm_pos[lm_set] = np.asarray(X)
+        # Re-normalize scale (median depth in kf1).
+        p = m.lm_pos[lm_set] @ m.kf_R[kf1].T + m.kf_t[kf1]
+        med = float(np.median(p[:, 2]))
+        if med > 0:
+            m.lm_pos[lm_set] /= med
+            m.kf_t[[kf0, kf1]] /= med
+
+    # ------------------------------------------------------------------
+    def _track(self, frame: Frame):
+        cfg, m = self.cfg, self.map
+        ok = False
+        if self.velocity is not None and self.last_frame.pose_ok:
+            ok = self._track_motion_model(frame)
+            if not ok:
+                self.stats["mm_fail"] += 1
+        if not ok:
+            # Reference-keyframe fallback; if the last frame has no pose
+            # (RECENTLY_LOST), start from the reference keyframe's own pose
+            # (the recovery role relocalization plays before BoW exists).
+            ok = self._track_reference_kf(frame)
+            if not ok:
+                self.stats["refkf_fail"] += 1
+        if not ok:
+            self.state = TrackState.RECENTLY_LOST
+            self.stats["track_fail"] += 1
+            # Keep last pose as a guess so the next frame can try again.
+            frame.R_cw = self.last_frame.R_cw
+            frame.t_cw = self.last_frame.t_cw
+            frame.pose_ok = False
+            self.velocity = None
+            return
+
+        n_inliers = self._track_local_map(frame)
+        if n_inliers < cfg.min_local_inliers:
+            self.stats["local_fail"] += 1
+            self.state = TrackState.RECENTLY_LOST
+            self.stats["track_fail"] += 1
+            frame.pose_ok = False
+            self.velocity = None
+            return
+
+        self.state = TrackState.OK
+        frame.pose_ok = True
+        frame.ref_kf = self.ref_kf
+        # Velocity model update.
+        Rl, tl = self.last_frame.R_cw, self.last_frame.t_cw
+        Rlw_inv, tlw_inv = se3.se3_inverse(jnp.asarray(Rl), jnp.asarray(tl))
+        Rv, tv = se3.se3_compose(
+            jnp.asarray(frame.R_cw), jnp.asarray(frame.t_cw), Rlw_inv, tlw_inv
+        )
+        self.velocity = (np.asarray(Rv), np.asarray(tv))
+
+        if self._need_new_keyframe(frame, n_inliers):
+            self._create_keyframe(frame)
+
+    # ------------------------------------------------------------------
+    def _predict_pose(self):
+        Rv, tv = self.velocity
+        R, t = se3.se3_compose(
+            jnp.asarray(Rv), jnp.asarray(tv),
+            jnp.asarray(self.last_frame.R_cw), jnp.asarray(self.last_frame.t_cw),
+        )
+        return np.asarray(R), np.asarray(t)
+
+    def _match_against_landmarks(self, frame, lm_ids, R_pred, t_pred, th,
+                                 wide_gates=False):
+        """Project the given landmarks and match to the frame's keypoints."""
+        cfg, m = self.cfg, self.map
+        L = cfg.local_map_size if not wide_gates else 1024
+        lm_ids = lm_ids[:L]
+        pos = _pad_rows(m.lm_pos[lm_ids], L)
+        desc = _pad_rows(m.lm_desc[lm_ids], L)
+        mask = _pad_rows(np.ones(lm_ids.shape[0], np.float32), L)
+        if wide_gates:
+            # Frame-to-frame search skips the normal/band gates: synthesize a
+            # normal pointing at the camera and an unbounded band.
+            center = -R_pred.T @ t_pred
+            vec = pos - center
+            nrm = vec / np.maximum(np.linalg.norm(vec, axis=1, keepdims=True), 1e-9)
+            normal = nrm.astype(np.float32)
+            min_d = np.zeros(L, np.float32)
+            max_d = np.full(L, 1e6, np.float32)
+        else:
+            normal = _pad_rows(m.lm_normal[lm_ids], L)
+            min_d = _pad_rows(m.lm_min_dist[lm_ids], L)
+            max_d = _pad_rows(m.lm_max_dist[lm_ids], L)
+        lm_slot, ok, visible = track_match.match_local_map(
+            cfg.project_fn, jnp.asarray(R_pred), jnp.asarray(t_pred),
+            jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(min_d),
+            jnp.asarray(max_d), jnp.asarray(desc), jnp.asarray(mask),
+            jnp.asarray(frame.uv), jnp.asarray(frame.level),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            cfg.width, cfg.height, th=th,
+            level_slack=7 if wide_gates else 1,
+        )
+        lm_slot = np.asarray(lm_slot)
+        ok = np.asarray(ok)
+        matched_lm = np.where(ok, lm_ids[np.clip(lm_slot, 0, lm_ids.size - 1)], NO_LM)
+        return matched_lm.astype(np.int32), np.asarray(visible), lm_ids
+
+    def _optimize_frame_pose(self, frame, R0, t0):
+        cfg, m = self.cfg, self.map
+        # Drop bindings to landmarks removed since they were made.
+        stale = (frame.kp_lm != NO_LM) & ~m.lm_valid[np.clip(frame.kp_lm, 0, m.max_lm - 1)]
+        frame.kp_lm = np.where(stale, NO_LM, frame.kp_lm).astype(np.int32)
+        X = m.lm_pos[np.clip(frame.kp_lm, 0, m.max_lm - 1)]
+        mask = (frame.kp_lm != NO_LM) & frame.valid
+        R, t, inl, n_inl = optimize_pose(
+            cfg.project_fn, cfg.project_jac_fn,
+            jnp.asarray(R0), jnp.asarray(t0),
+            jnp.asarray(X), jnp.asarray(frame.uv),
+            jnp.asarray(frame.level), jnp.asarray(mask.astype(np.float32)),
+        )
+        inl = np.asarray(inl) & mask
+        frame.R_cw = np.asarray(R)
+        frame.t_cw = np.asarray(t)
+        # Unbind outliers (reference clears mvpMapPoints for outliers).
+        frame.kp_lm = np.where(inl, frame.kp_lm, NO_LM).astype(np.int32)
+        return int(inl.sum())
+
+    def _track_motion_model(self, frame: Frame) -> bool:
+        cfg, m = self.cfg, self.map
+        R_pred, t_pred = self._predict_pose()
+        kp, lms = self.last_frame.bound_obs()
+        if lms.size < 3:
+            return False
+        lm_ids = np.unique(lms)
+        lm_ids = lm_ids[m.lm_valid[lm_ids]]
+        matched_lm, _, _ = self._match_against_landmarks(
+            frame, lm_ids, R_pred, t_pred, th=3.0, wide_gates=True
+        )
+        if (matched_lm != NO_LM).sum() < cfg.min_track_matches:
+            # Widen the window once, as the reference does.
+            matched_lm, _, _ = self._match_against_landmarks(
+                frame, lm_ids, R_pred, t_pred, th=6.0, wide_gates=True
+            )
+        if (matched_lm != NO_LM).sum() < cfg.min_track_matches:
+            return False
+        frame.kp_lm = matched_lm
+        n = self._optimize_frame_pose(frame, R_pred, t_pred)
+        return n >= cfg.min_track_matches
+
+    def _track_reference_kf(self, frame: Frame) -> bool:
+        cfg, m = self.cfg, self.map
+        kf = self.ref_kf
+        if kf < 0:
+            return False
+        # Projection search of the reference keyframe's landmarks with wide
+        # gates from the last known pose; fall back to global descriptor
+        # matching (the BoW-style path) if that fails.
+        lms = m.kf_kp_lm[kf]
+        lm_ids = np.unique(lms[lms != NO_LM])
+        lm_ids = lm_ids[self.map.lm_valid[lm_ids]]
+        matched_lm = np.full(frame.uv.shape[0], NO_LM, np.int32)
+        if lm_ids.size >= 3:
+            R0, t0 = (
+                (self.last_frame.R_cw, self.last_frame.t_cw)
+                if self.last_frame.pose_ok
+                else (m.kf_R[kf], m.kf_t[kf])
+            )
+            matched_lm, _, _ = self._match_against_landmarks(
+                frame, lm_ids, R0, t0, th=10.0, wide_gates=True
+            )
+        if (matched_lm != NO_LM).sum() < cfg.min_track_matches:
+            bound = m.kf_kp_lm[kf] != NO_LM
+            idx, ok, _ = track_match.match_by_descriptor(
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                jnp.asarray(m.kf_desc[kf]),
+                jnp.asarray(m.kf_kp_valid[kf] & bound),
+            )
+            idx = np.asarray(idx)
+            ok = np.asarray(ok)
+            matched_lm = np.where(ok, m.kf_kp_lm[kf][idx], NO_LM).astype(np.int32)
+        if (matched_lm != NO_LM).sum() < cfg.min_track_matches:
+            return False
+        frame.kp_lm = matched_lm
+        if self.last_frame.pose_ok:
+            R0, t0 = self.last_frame.R_cw, self.last_frame.t_cw
+        else:
+            R0, t0 = m.kf_R[kf], m.kf_t[kf]
+        n = self._optimize_frame_pose(frame, R0, t0)
+        return n >= cfg.min_track_matches
+
+    def _track_local_map(self, frame: Frame) -> int:
+        cfg, m = self.cfg, self.map
+        # Local keyframes: those observing the frame's current landmarks,
+        # plus their covisibility neighbors (UpdateLocalKeyFrames K1+K2).
+        _, lms = frame.bound_obs()
+        if lms.size == 0:
+            return 0
+        seen = np.zeros(m.max_lm, bool)
+        seen[lms] = True
+        obs_count = (seen[m.kf_kp_lm] & (m.kf_kp_lm != NO_LM)).sum(axis=1)
+        obs_count[~m.kf_valid] = 0
+        k1 = np.nonzero(obs_count > 0)[0]
+        if k1.size == 0:
+            return 0
+        self.ref_kf = int(k1[np.argmax(obs_count[k1])])
+        frame.ref_kf = self.ref_kf
+        local_kfs = set(k1.tolist())
+        for kf in k1[np.argsort(-obs_count[k1])][:10]:
+            nb, _ = m.covisibility(int(kf), min_shared=15)
+            local_kfs.update(nb[:10].tolist())
+        local_kfs = np.fromiter(local_kfs, np.int32)
+        # Local landmarks not already bound in this frame, ordered by the
+        # covisibility weight of their keyframes so that truncation to the
+        # matcher's fixed capacity drops the least-relevant ones (truncating
+        # by landmark id would age the current view out of the local map).
+        order = local_kfs[np.argsort(-obs_count[local_kfs], kind="stable")]
+        seen_lm = np.zeros(m.max_lm, bool)
+        chunks = []
+        for kf_i in order:
+            c = m.kf_kp_lm[kf_i]
+            c = c[c != NO_LM]
+            c = c[~seen_lm[c]]
+            seen_lm[c] = True
+            chunks.append(c)
+        cand = np.concatenate(chunks) if chunks else np.empty(0, np.int32)
+        cand = cand[m.lm_valid[cand]]
+        cand = cand[~np.isin(cand, lms)]
+        matched_lm, visible, used_ids = self._match_against_landmarks(
+            frame, cand, frame.R_cw, frame.t_cw, th=1.0
+        )
+        # Visibility statistics for culling.
+        vis_ids = used_ids[np.asarray(visible)[: used_ids.size]]
+        m.lm_visible[vis_ids] += 1
+        # Merge: keep existing bindings, add new ones on free keypoints.
+        free = frame.kp_lm == NO_LM
+        frame.kp_lm = np.where(free, matched_lm, frame.kp_lm).astype(np.int32)
+        n = self._optimize_frame_pose(frame, frame.R_cw, frame.t_cw)
+        _, lms_after = frame.bound_obs()
+        m.lm_found[lms_after] += 1
+        return n
+
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, frame: Frame, n_inliers: int) -> bool:
+        cfg, m = self.cfg, self.map
+        frames_since = frame.frame_id - self.last_kf_frame_id
+        # Reference-KF match count at min 3 observations (NeedNewKeyFrame's
+        # nRefMatches).
+        obs = m.landmark_obs_count()
+        ref_lms = m.kf_kp_lm[self.ref_kf]
+        ref_lms = ref_lms[ref_lms != NO_LM]
+        min_obs = 3 if m.n_kf > 2 else 2
+        n_ref = int((obs[ref_lms] >= min_obs).sum())
+        c1a = frames_since >= cfg.fps  # mMaxFrames = fps
+        c2 = (n_inliers < cfg.kf_ref_ratio * max(n_ref, 1)) and n_inliers > 15
+        return c1a or (frames_since >= cfg.kf_min_gap and c2)
+
+    def _create_keyframe(self, frame: Frame):
+        m = self.map
+        kf = m.add_keyframe(
+            frame.R_cw, frame.t_cw, frame.uv, frame.level, frame.angle,
+            frame.valid, frame.desc, frame.frame_id, frame.timestamp,
+            kp_lm=frame.kp_lm,
+        )
+        self.ref_kf = kf
+        frame.ref_kf = kf
+        self.last_kf_frame_id = frame.frame_id
+        self.stats["n_kf"] += 1
+        kp, lms = frame.bound_obs()
+        m.update_landmark_stats(lms)
+        if self.local_mapper is not None:
+            self.local_mapper.note_new_keyframe(kf)
+            self.local_mapper.run_once()
+            # Mapping may have refined the pose of this keyframe; propagate.
+            frame.R_cw = m.kf_R[kf].copy()
+            frame.t_cw = m.kf_t[kf].copy()
+
+    # ------------------------------------------------------------------
+    def _record_trajectory(self, frame: Frame):
+        if frame.R_cw is None:
+            return
+        m = self.map
+        ref = frame.ref_kf if frame.ref_kf >= 0 else self.ref_kf
+        if ref >= 0:
+            Rr, tr = m.kf_R[ref], m.kf_t[ref]
+            Ri, ti = se3.se3_inverse(jnp.asarray(Rr), jnp.asarray(tr))
+            Rrel, trel = se3.se3_compose(
+                jnp.asarray(frame.R_cw), jnp.asarray(frame.t_cw), Ri, ti
+            )
+            self.trajectory.append(
+                (frame.timestamp, ref, np.asarray(Rrel), np.asarray(trel),
+                 self.state, frame.pose_ok)
+            )
+
+    def final_trajectory(self):
+        """Replay relative poses against (possibly BA-corrected) keyframe
+        poses (System::SaveTrajectoryEuRoC semantics).  Returns (T, 8):
+        timestamp + T_wc position + quaternion [qw qx qy qz]."""
+        from orb_slam3_study_kr_tpu.lie.so3 import matrix_to_quat
+
+        m = self.map
+        rows = []
+        for ts, ref, Rrel, trel, state, ok in self.trajectory:
+            if not ok or not m.kf_valid[ref]:
+                continue
+            R_cw, t_cw = se3.se3_compose(
+                jnp.asarray(Rrel), jnp.asarray(trel),
+                jnp.asarray(m.kf_R[ref]), jnp.asarray(m.kf_t[ref]),
+            )
+            R_wc, t_wc = se3.se3_inverse(R_cw, t_cw)
+            q = np.asarray(matrix_to_quat(R_wc))
+            rows.append([ts, *np.asarray(t_wc), q[0], q[1], q[2], q[3]])
+        return np.array(rows)

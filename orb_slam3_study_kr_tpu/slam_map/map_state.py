@@ -1,0 +1,270 @@
+"""SoA map tables (host numpy bookkeeping + device mirrors for solvers).
+
+Re-expresses the reference's pointer graph:
+  KeyFrame (include/KeyFrame.h)  -> rows of the kf_* arrays
+  MapPoint (include/MapPoint.h)  -> rows of the lm_* arrays
+  observations (MapPoint::mObservations, KeyFrame::mvpMapPoints)
+                                 -> the kf_kp_lm binding table (keyframe,
+                                    keypoint) -> landmark id, -1 = none
+  covisibility graph (KeyFrame::UpdateConnections)
+                                 -> recomputed on demand by counting shared
+                                    bindings (segment sums), no stored edges
+  Map / Atlas (include/Map.h, Atlas.h) -> MapState / Atlas containers
+
+Bad-flag lifecycles become validity masks; culling clears rows for reuse.
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+NO_LM = -1
+
+
+@dataclass
+class MapState:
+    max_kf: int = 300
+    max_kp: int = 1024
+    max_lm: int = 40000
+    map_id: int = 0
+
+    # --- keyframes ---
+    kf_R: np.ndarray = None          # (max_kf, 3, 3) world->cam
+    kf_t: np.ndarray = None          # (max_kf, 3)
+    kf_valid: np.ndarray = None      # (max_kf,) bool
+    kf_frame_id: np.ndarray = None   # (max_kf,) source frame index
+    kf_timestamp: np.ndarray = None  # (max_kf,)
+
+    # --- keyframe features (fixed max_kp slots each) ---
+    kf_kp_uv: np.ndarray = None      # (max_kf, max_kp, 2) undistorted px
+    kf_kp_level: np.ndarray = None   # (max_kf, max_kp) int32
+    kf_kp_angle: np.ndarray = None   # (max_kf, max_kp)
+    kf_kp_valid: np.ndarray = None   # (max_kf, max_kp) bool
+    kf_desc: np.ndarray = None       # (max_kf, max_kp, 256) uint8 {0,1}
+    kf_kp_lm: np.ndarray = None      # (max_kf, max_kp) int32 landmark id
+
+    # --- landmarks ---
+    lm_pos: np.ndarray = None        # (max_lm, 3)
+    lm_valid: np.ndarray = None      # (max_lm,) bool
+    lm_desc: np.ndarray = None       # (max_lm, 256) uint8 representative
+    lm_normal: np.ndarray = None     # (max_lm, 3) mean viewing direction
+    lm_min_dist: np.ndarray = None   # (max_lm,) scale-invariance band
+    lm_max_dist: np.ndarray = None
+    lm_first_kf: np.ndarray = None   # (max_lm,) int32
+    lm_visible: np.ndarray = None    # (max_lm,) int32 frustum-visible count
+    lm_found: np.ndarray = None      # (max_lm,) int32 matched-by-tracking count
+
+    n_kf: int = 0
+    n_lm: int = 0
+    next_lm: int = 0                 # monotonic allocator — ids are never
+                                     # recycled within a session, so stale
+                                     # bindings in frames can never silently
+                                     # point at a different landmark
+    change_idx: int = 0              # reference Map change index semantics
+    scale_factor: float = 1.2
+    n_levels: int = 8
+
+    def __post_init__(self):
+        k, p, m = self.max_kf, self.max_kp, self.max_lm
+        self.kf_R = np.tile(np.eye(3, dtype=np.float32), (k, 1, 1))
+        self.kf_t = np.zeros((k, 3), np.float32)
+        self.kf_valid = np.zeros(k, bool)
+        self.kf_frame_id = np.full(k, -1, np.int32)
+        self.kf_timestamp = np.zeros(k, np.float64)
+        self.kf_kp_uv = np.zeros((k, p, 2), np.float32)
+        self.kf_kp_level = np.zeros((k, p), np.int32)
+        self.kf_kp_angle = np.zeros((k, p), np.float32)
+        self.kf_kp_valid = np.zeros((k, p), bool)
+        self.kf_desc = np.zeros((k, p, 256), np.uint8)
+        self.kf_kp_lm = np.full((k, p), NO_LM, np.int32)
+        self.lm_pos = np.zeros((m, 3), np.float32)
+        self.lm_valid = np.zeros(m, bool)
+        self.lm_desc = np.zeros((m, 256), np.uint8)
+        self.lm_normal = np.zeros((m, 3), np.float32)
+        self.lm_min_dist = np.zeros(m, np.float32)
+        self.lm_max_dist = np.zeros(m, np.float32)
+        self.lm_first_kf = np.full(m, -1, np.int32)
+        self.lm_visible = np.ones(m, np.int32)
+        self.lm_found = np.ones(m, np.int32)
+
+    # ---------------- keyframes ----------------
+
+    def add_keyframe(self, R_cw, t_cw, uv, level, angle, valid, desc,
+                     frame_id, timestamp, kp_lm=None) -> int:
+        if self.n_kf >= self.max_kf:
+            raise RuntimeError("keyframe capacity exhausted")
+        i = self.n_kf
+        self.n_kf += 1
+        self.kf_valid[i] = True
+        self.kf_R[i] = R_cw
+        self.kf_t[i] = t_cw
+        self.kf_frame_id[i] = frame_id
+        self.kf_timestamp[i] = timestamp
+        n = uv.shape[0]
+        self.kf_kp_uv[i, :n] = uv
+        self.kf_kp_level[i, :n] = level
+        self.kf_kp_angle[i, :n] = angle
+        self.kf_kp_valid[i, :n] = valid
+        self.kf_desc[i, :n] = desc
+        if kp_lm is not None:
+            self.kf_kp_lm[i, :n] = kp_lm
+        self.change_idx += 1
+        return i
+
+    def kf_center(self, i):
+        """Camera center in world coords."""
+        return -self.kf_R[i].T @ self.kf_t[i]
+
+    # ---------------- landmarks ----------------
+
+    def add_landmarks(self, positions, descs, first_kf) -> np.ndarray:
+        n = positions.shape[0]
+        if self.next_lm + n > self.max_lm:
+            raise RuntimeError("landmark capacity exhausted")
+        ids = np.arange(self.next_lm, self.next_lm + n)
+        self.next_lm += n
+        self.lm_valid[ids] = True
+        self.lm_pos[ids] = positions
+        self.lm_desc[ids] = descs
+        self.lm_first_kf[ids] = first_kf
+        self.lm_visible[ids] = 1
+        self.lm_found[ids] = 1
+        self.n_lm = int(self.lm_valid.sum())
+        self.change_idx += 1
+        return ids
+
+    def remove_landmarks(self, ids):
+        ids = np.asarray(ids, np.int32)
+        if ids.size == 0:
+            return
+        self.lm_valid[ids] = False
+        # Clear all bindings to these landmarks.
+        kill = np.isin(self.kf_kp_lm, ids)
+        self.kf_kp_lm[kill] = NO_LM
+        self.n_lm = int(self.lm_valid.sum())
+        self.change_idx += 1
+
+    def bind(self, kf_id, kp_idx, lm_ids):
+        """Associate keypoints of a keyframe with landmarks."""
+        self.kf_kp_lm[kf_id, kp_idx] = lm_ids
+        self.change_idx += 1
+
+    # ---------------- observations / covisibility ----------------
+
+    def observations(self, kf_ids=None):
+        """COO observation arrays over the given keyframes (all if None).
+
+        Returns (obs_kf, obs_kp, obs_lm) int32 arrays."""
+        if kf_ids is None:
+            kf_ids = np.nonzero(self.kf_valid)[0]
+        kf_ids = np.asarray(kf_ids, np.int32)
+        sub = self.kf_kp_lm[kf_ids]  # (n, max_kp)
+        live = sub != NO_LM
+        r, c = np.nonzero(live)
+        return kf_ids[r], c.astype(np.int32), sub[r, c]
+
+    def landmark_obs_count(self):
+        """(max_lm,) number of keyframe observations per landmark."""
+        flat = self.kf_kp_lm[self.kf_valid].ravel()
+        flat = flat[flat != NO_LM]
+        return np.bincount(flat, minlength=self.max_lm)
+
+    def covisibility(self, kf_id, min_shared=15):
+        """Keyframes sharing >= min_shared landmarks with kf_id, sorted by
+        weight descending (KeyFrame::UpdateConnections semantics)."""
+        lms = self.kf_kp_lm[kf_id]
+        lms = lms[lms != NO_LM]
+        if lms.size == 0:
+            return np.empty(0, np.int32), np.empty(0, np.int32)
+        seen = np.zeros(self.max_lm, bool)
+        seen[lms] = True
+        shared = (seen[self.kf_kp_lm] & (self.kf_kp_lm != NO_LM)).sum(axis=1)
+        shared[kf_id] = 0
+        shared[~self.kf_valid] = 0
+        ids = np.nonzero(shared >= min_shared)[0]
+        order = np.argsort(-shared[ids], kind="stable")
+        ids = ids[order]
+        return ids.astype(np.int32), shared[ids].astype(np.int32)
+
+    # ---------------- landmark statistics ----------------
+
+    def update_landmark_stats(self, lm_ids):
+        """Recompute viewing normal, scale band and representative descriptor
+        for the given landmarks (MapPoint::UpdateNormalAndDepth +
+        ComputeDistinctiveDescriptors)."""
+        lm_ids = np.asarray(lm_ids)
+        lm_ids = lm_ids[self.lm_valid[lm_ids]]
+        if lm_ids.size == 0:
+            return
+        # Gather observations per landmark (variable count; loop on host —
+        # bookkeeping scale).
+        kf_of = [[] for _ in range(lm_ids.size)]
+        kp_of = [[] for _ in range(lm_ids.size)]
+        pos_in = {int(l): i for i, l in enumerate(lm_ids)}
+        okf, okp, olm = self.observations()
+        for kf, kp, lm in zip(okf, okp, olm):
+            j = pos_in.get(int(lm))
+            if j is not None:
+                kf_of[j].append(kf)
+                kp_of[j].append(kp)
+        centers = -np.einsum("kij,kj->ki", self.kf_R.transpose(0, 2, 1), self.kf_t)
+        for j, lm in enumerate(lm_ids):
+            kfs = np.array(kf_of[j], np.int32)
+            if kfs.size == 0:
+                continue
+            kps = np.array(kp_of[j], np.int32)
+            p = self.lm_pos[lm]
+            vecs = p[None] - centers[kfs]
+            norms = np.linalg.norm(vecs, axis=1)
+            norms = np.maximum(norms, 1e-9)
+            self.lm_normal[lm] = (vecs / norms[:, None]).mean(0)
+            n = np.linalg.norm(self.lm_normal[lm])
+            if n > 1e-9:
+                self.lm_normal[lm] /= n
+            # Scale band from the reference keyframe (the last observation,
+            # matching PredictScale's dist limits).
+            ref = -1
+            level = self.kf_kp_level[kfs[ref], kps[ref]]
+            dist = norms[ref]
+            factor = self.scale_factor ** level
+            self.lm_max_dist[lm] = dist * factor
+            self.lm_min_dist[lm] = self.lm_max_dist[lm] / (
+                self.scale_factor ** (self.n_levels - 1)
+            )
+            # Distinctive descriptor: min median Hamming to the others.
+            descs = self.kf_desc[kfs, kps]  # (n, 256)
+            if descs.shape[0] == 1:
+                self.lm_desc[lm] = descs[0]
+            else:
+                d = (descs[:, None, :] != descs[None, :, :]).sum(-1)
+                med = np.median(d, axis=1)
+                self.lm_desc[lm] = descs[np.argmin(med)]
+
+    def predict_scale(self, dist, lm_ids):
+        """Pyramid level prediction from distance (MapPoint::PredictScale)."""
+        ratio = self.lm_max_dist[lm_ids] / np.maximum(dist, 1e-9)
+        level = np.ceil(np.log(np.maximum(ratio, 1e-9)) / np.log(self.scale_factor))
+        return np.clip(level, 0, self.n_levels - 1).astype(np.int32)
+
+
+@dataclass
+class Atlas:
+    """Multi-map container (reference include/Atlas.h): the active map plus
+    stored maps from tracking-loss episodes, awaiting merge."""
+    maps: list = field(default_factory=list)
+    active: int = -1
+    _next_id: int = 0
+
+    def create_map(self, **kw) -> MapState:
+        m = MapState(map_id=self._next_id, **kw)
+        self._next_id += 1
+        self.maps.append(m)
+        self.active = len(self.maps) - 1
+        return m
+
+    @property
+    def active_map(self) -> MapState:
+        return self.maps[self.active]
+
+    def change_map(self, idx):
+        self.active = idx

@@ -1,0 +1,72 @@
+"""End-to-end monocular SLAM integration tests (SURVEY.md section 4 oracle:
+run a sequence, save the trajectory, score RMS ATE).
+
+Thresholds reflect measured round-1 behavior on these synthetic worlds
+(see NOTES.md): the association layer currently costs ~10% relative drift
+on adversarial self-similar texture; oracle-association runs of the same
+pipeline score at the millimeter level, so the thresholds below tighten as
+the matcher improves."""
+
+import numpy as np
+import pytest
+
+from orb_slam3_study_kr_tpu.evaluation import ate_rmse
+from orb_slam3_study_kr_tpu.io import synthetic
+from orb_slam3_study_kr_tpu.pipeline import SlamSystem, SystemConfig
+from orb_slam3_study_kr_tpu.pipeline.tracking import TrackerConfig, TrackState
+
+
+def _run(slam, world_or_scene, R_gt, t_gt, textured, rng):
+    n = R_gt.shape[0]
+    for i in range(n):
+        if textured:
+            img = synthetic.render_textured(world_or_scene, R_gt[i], t_gt[i], rng=rng)
+        else:
+            img, _, _ = synthetic.render(world_or_scene, R_gt[i], t_gt[i], rng=rng)
+        slam.track_monocular(img, i * 0.1)
+    rows = slam.trajectory()
+    centers = -np.einsum("nij,nj->ni", R_gt.transpose(0, 2, 1), t_gt)
+    rmse, nm, s = ate_rmse(rows[:, 0], rows[:, 1:4], np.arange(n) * 0.1, centers, True)
+    return rows, rmse, nm
+
+
+@pytest.mark.slow
+def test_mono_slam_textured_lateral(tmp_path):
+    """Viewpoint-stable lateral translation through a textured corridor
+    corner — the representative mono-SLAM regime."""
+    rng = np.random.default_rng(1)
+    world = synthetic.make_textured_world(rng, depth=6.0)
+    n_frames = 40
+    R_gt, t_gt = synthetic.lateral_trajectory(n_frames, x_span=1.0, z_span=0.0,
+                                              y_amp=0.0)
+    slam = SlamSystem(SystemConfig(tracker=TrackerConfig(fps=10)))
+    rows, rmse, nm = _run(slam, world, R_gt, t_gt, True, rng)
+    stats = slam.stats()
+    assert slam.state == TrackState.OK, stats
+    assert stats["n_kf"] >= 3, stats
+    assert nm > 25
+    assert rmse < 0.15, f"ATE {rmse:.4f} m over {nm} frames ({stats})"
+
+    path = tmp_path / "traj.txt"
+    slam.save_trajectory_tum(path)
+    lines = path.read_text().strip().splitlines()
+    assert len(lines) == rows.shape[0]
+    assert len(lines[0].split()) == 8
+
+
+@pytest.mark.slow
+def test_mono_slam_blob_orbit_robustness():
+    """Adversarial blob-field orbit (low parallax, then strong viewpoint
+    rotation): the system must keep tracking or recover — never end LOST —
+    and stay within loose accuracy bounds."""
+    rng = np.random.default_rng(5)
+    scene = synthetic.make_scene(rng, n_points=700)
+    n_frames = 30
+    R_gt, t_gt = synthetic.circular_trajectory(n_frames, radius=1.2, span=0.35)
+    slam = SlamSystem(SystemConfig(tracker=TrackerConfig(fps=10)))
+    rows, rmse, nm = _run(slam, scene, R_gt, t_gt, False, rng)
+    stats = slam.stats()
+    assert slam.state in (TrackState.OK, TrackState.RECENTLY_LOST), stats
+    assert stats["n_kf"] >= 2
+    assert nm >= 15, f"only {nm} evaluated frames"
+    assert rmse < 0.5, f"ATE {rmse:.4f} over {nm} frames ({stats})"
