@@ -1,0 +1,94 @@
+"""Distributed BA tests: correctness vs the single-device solver on an
+8-device virtual CPU mesh (run in a clean subprocess; the axon hook pins
+this process to one real TPU)."""
+
+import numpy as np
+
+from tests.conftest import run_in_cpu_mesh
+
+DIST_BA_PROGRAM = r"""
+import functools
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from orb_slam3_study_kr_tpu import lie
+from orb_slam3_study_kr_tpu.cameras import pinhole
+from orb_slam3_study_kr_tpu.parallel import distributed_bundle_adjust, make_ba_mesh
+from orb_slam3_study_kr_tpu.parallel.dist_ba import shard_ba_problem
+
+assert len(jax.devices()) == 8, jax.devices()
+
+CAM = jnp.asarray([458.0, 457.0, 376.0, 240.0, 0, 0, 0, 0, 0], jnp.float32)
+PROJECT = functools.partial(pinhole.project, CAM)
+PROJECT_JAC = functools.partial(pinhole.project_jac, CAM)
+
+rng = np.random.default_rng(0)
+n_poses, n_points = 6, 400
+X_gt = np.stack([rng.uniform(-5, 5, n_points), rng.uniform(-4, 4, n_points),
+                 rng.uniform(6, 14, n_points)], -1).astype(np.float32)
+Rs, ts = [], []
+for k in range(n_poses):
+    xi = np.array([0.02*k, -0.01*k, 0.005*k, 0.4*k, 0.02*k, 0.0], np.float32)
+    R, t = lie.exp_se3(jnp.asarray(xi))
+    Rs.append(np.asarray(R)); ts.append(np.asarray(t))
+R_gt, t_gt = np.stack(Rs), np.stack(ts)
+op, ol, ouv = [], [], []
+for k in range(n_poses):
+    p = X_gt @ R_gt[k].T + t_gt[k]
+    uv = np.array(PROJECT(jnp.asarray(p)))
+    vis = (p[:,2]>0.5)&(uv[:,0]>0)&(uv[:,0]<752)&(uv[:,1]>0)&(uv[:,1]<480)
+    for j in np.nonzero(vis)[0]:
+        op.append(k); ol.append(j); ouv.append(uv[j] + rng.normal(0, 0.5, 2))
+op = np.array(op, np.int32); ol = np.array(ol, np.int32)
+ouv = np.array(ouv, np.float32)
+olev = np.zeros(op.shape[0], np.int32); om = np.ones(op.shape[0], np.float32)
+
+# Perturb
+pert = rng.normal(0, 0.01, (n_poses, 6)).astype(np.float32); pert[0] = 0
+dR, dt = lie.exp_se3(jnp.asarray(pert))
+R0, t0 = lie.se3_compose(dR, dt, jnp.asarray(R_gt), jnp.asarray(t_gt))
+X0 = X_gt + rng.normal(0, 0.05, X_gt.shape).astype(np.float32)
+fixed = np.zeros(n_poses, np.float32); fixed[0] = 1.0
+
+mesh = make_ba_mesh()
+n_dev = 8
+(X_sh, lmm_sh, op_sh, ol_sh, ouv_sh, olev_sh, om_sh,
+ dev_of_lm, local_of_lm, Mb) = shard_ba_problem(
+    mesh, n_dev, X0, np.ones(n_points, np.float32), op, ol, ouv, olev, om)
+
+shd = NamedSharding(mesh, P("data"))
+rep = NamedSharding(mesh, P())
+put = lambda a, s: jax.device_put(jnp.asarray(a), s)
+
+R_f, t_f, X_f = distributed_bundle_adjust(
+    mesh, PROJECT, PROJECT_JAC,
+    put(R0, rep), put(t0, rep), put(fixed, rep),
+    put(X_sh, shd), put(lmm_sh, shd),
+    put(op_sh, shd), put(ol_sh, shd), put(ouv_sh, shd),
+    put(olev_sh, shd), put(om_sh, shd),
+    n_iters=12,
+)
+R_f = np.asarray(R_f); t_f = np.asarray(t_f)
+# Check convergence to ground truth (scale anchored by fixed pose + points).
+s = np.linalg.norm(t_gt[1:], axis=1).sum() / max(np.linalg.norm(t_f[1:], axis=1).sum(), 1e-9)
+for k in range(1, n_poses):
+    c = (np.trace(R_f[k] @ R_gt[k].T) - 1) / 2
+    ang = np.degrees(np.arccos(np.clip(c, -1, 1)))
+    assert ang < 0.1, (k, ang)
+    assert np.linalg.norm(t_f[k]*s - t_gt[k]) < 0.03, (k, t_f[k], t_gt[k])
+# Landmark recovery: unshard and compare.
+X_out = np.asarray(X_f).reshape(8, Mb, 3)
+X_rec = np.zeros_like(X_gt)
+for j in range(n_points):
+    X_rec[j] = X_out[dev_of_lm[j], local_of_lm[j]]
+err = np.linalg.norm(X_rec - X_gt, axis=1)
+assert np.median(err) < 0.05, np.median(err)
+print("DIST_BA_OK", float(np.median(err)))
+"""
+
+
+def test_distributed_ba_8_devices():
+    res = run_in_cpu_mesh(DIST_BA_PROGRAM, n_devices=8)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "DIST_BA_OK" in res.stdout, res.stdout
