@@ -1,0 +1,201 @@
+"""Inertial optimizations: IMU initialization (gravity direction, scale,
+biases, velocities) and pose-inertial frame tracking.
+
+Replaces Optimizer::InertialOptimization (/root/reference/src/Optimizer.cc:
+3050,3235,3397 — the 3-stage IMU init solves behind LocalMapping::
+InitializeIMU) and PoseInertialOptimizationLastKeyFrame/LastFrame
+(:4499/:4883).  States are small (tens of dofs), so Jacobians come from
+autodiff and each solve is a damped GN lax.scan — no hand-derived 15-D
+linearizations to maintain.
+
+Conventions: body states (R_wb, p_wb, v_w); gravity g = R_wg @ [0,0,-9.81]
+with R_wg a 2-dof rotation (VertexGDir); monocular scale s multiplies the
+visual translations.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_study_kr_tpu.imu.preintegration import (
+    GRAVITY, Preintegrated, bias_corrected_deltas)
+from orb_slam3_study_kr_tpu.lie.so3 import exp_so3, log_so3
+from orb_slam3_study_kr_tpu.solvers import robust
+
+
+def _edge_residual(R1, p1, v1, R2, p2, v2, bias, pre: Preintegrated, g):
+    db = bias - pre.bias
+    dbg, dba = db[:3], db[3:]
+    dR = pre.dR @ exp_so3(pre.JRg @ dbg)
+    dV = pre.dV + pre.JVg @ dbg + pre.JVa @ dba
+    dP = pre.dP + pre.JPg @ dbg + pre.JPa @ dba
+    t = pre.dT
+    e_R = log_so3(dR.T @ R1.T @ R2)
+    e_v = R1.T @ (v2 - v1 - g * t) - dV
+    e_p = R1.T @ (p2 - p1 - v1 * t - 0.5 * g * t * t) - dP
+    return jnp.concatenate([e_R, e_v, e_p])
+
+
+def _edge_weights(pre_stack, eps=1e-8):
+    """(K-1, 9, 9) whitening matrices W = chol(inv(cov9))^T per edge."""
+    C = pre_stack.cov[:, :9, :9]
+    C = C + eps * jnp.eye(9)[None]
+    Cinv = jnp.linalg.inv(C)
+    # Cholesky of the information matrix: r' = L^T r has unit covariance.
+    L = jnp.linalg.cholesky(Cinv)
+    return jnp.swapaxes(L, -1, -2)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+def inertial_only_optimization(
+    R_wb, p_vis, pre_stack: Preintegrated,
+    prior_gyro=1e2, prior_acc=1e10, n_iters=40, fix_scale=False,
+    damping=1e-4,
+):
+    """Estimate gravity direction, scale, biases and velocities from visual
+    keyframe poses + preintegrated IMU (the core of IMU init).
+
+    Args:
+      R_wb: (K, 3, 3) body rotations from vision (rotation is scale-free).
+      p_vis: (K, 3) visual body positions (to be scaled by exp(log_s)).
+      pre_stack: Preintegrated with leading axis (K-1,), window i -> i+1.
+      prior_gyro/prior_acc: bias prior information (the reference's
+        priorG/priorA schedule: 1e2/1e10 then 1/1e5 then 0/0).
+      fix_scale: True for stereo/RGB-D (scale observable already).
+
+    Returns dict(R_wg, scale, bias (6,), v (K, 3), cost).
+    """
+    K = R_wb.shape[0]
+    Wm = _edge_weights(pre_stack)
+    g0 = GRAVITY
+
+    # Initial velocities from scaled position differences.
+    dt = jnp.maximum(pre_stack.dT, 1e-4)
+    v0 = (p_vis[1:] - p_vis[:-1]) / dt[:, None]
+    v0 = jnp.concatenate([v0, v0[-1:]], axis=0)
+
+    def unpack(x):
+        th_g = jnp.concatenate([x[:2], jnp.zeros(1, x.dtype)])
+        R_wg = exp_so3(th_g)
+        log_s = jnp.where(fix_scale, 0.0, x[2])
+        s = jnp.exp(log_s)
+        bias = x[3:9]
+        v = x[9:].reshape(K, 3)
+        return R_wg, s, bias, v
+
+    def residuals(x):
+        R_wg, s, bias, v = unpack(x)
+        g = R_wg @ g0
+        p = p_vis * s
+
+        def one(i):
+            pre_i = jax.tree_util.tree_map(lambda a: a[i], pre_stack)
+            r = _edge_residual(R_wb[i], p[i], v[i], R_wb[i + 1], p[i + 1],
+                               v[i + 1], bias, pre_i, g)
+            return Wm[i] @ r
+
+        r_edges = jax.vmap(one)(jnp.arange(K - 1)).reshape(-1)
+        r_prior = jnp.concatenate([
+            jnp.sqrt(prior_gyro) * bias[:3],
+            jnp.sqrt(prior_acc) * bias[3:],
+        ])
+        return jnp.concatenate([r_edges, r_prior])
+
+    x0 = jnp.concatenate([jnp.zeros(9, jnp.float32), v0.reshape(-1)])
+
+    def gn_step(carry, _):
+        x, lam = carry
+        r = residuals(x)
+        J = jax.jacfwd(residuals)(x)
+        H = J.T @ J
+        H = H + lam * (jnp.eye(H.shape[0], dtype=H.dtype) + H * jnp.eye(H.shape[0], dtype=H.dtype))
+        gvec = J.T @ r
+        dx = -jnp.linalg.solve(H, gvec)
+        x_new = x + dx
+        better = jnp.sum(residuals(x_new) ** 2) < jnp.sum(r ** 2)
+        x = jnp.where(better, x_new, x)
+        lam = jnp.where(better, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 5.0, 1e4))
+        return (x, lam), None
+
+    (x, _), _ = jax.lax.scan(gn_step, (x0, jnp.float32(damping)), None,
+                             length=n_iters)
+    R_wg, s, bias, v = unpack(x)
+    cost = jnp.sum(residuals(x) ** 2)
+    return dict(R_wg=R_wg, scale=s, bias=bias, v=v, cost=cost)
+
+
+@functools.partial(jax.jit, static_argnames=("project_fn", "n_iters"))
+def pose_inertial_optimization(
+    project_fn,
+    R_wb0, p_wb0, v_w0, bias0,       # previous (anchor) body state — fixed
+    pre: Preintegrated,              # window anchor -> current
+    R_wb_init, p_wb_init, v_w_init,  # current-state initialization
+    R_cb, t_cb,                      # camera <- body extrinsics
+    X, uv_obs, level, obs_mask,      # visual obs of the current frame
+    n_iters=10, damping=1e-3,
+):
+    """Optimize the current frame's (R, p, v, bias) against its matched
+    landmarks plus the preintegration edge from the anchor state
+    (PoseInertialOptimizationLastKeyFrame semantics, visual part monocular).
+
+    Returns (R_wb, p_wb, v_w, bias, inlier_mask)."""
+    inv_sigma2 = robust.octave_inv_sigma2(level)
+    Wm = _edge_weights(jax.tree_util.tree_map(lambda a: a[None], pre))[0]
+    g = GRAVITY
+
+    def unpack(x):
+        dR = exp_so3(x[:3])
+        R = R_wb_init @ dR
+        p = p_wb_init + x[3:6]
+        v = v_w_init + x[6:9]
+        bias = bias0 + x[9:15]
+        return R, p, v, bias
+
+    def visual_residuals(R, p):
+        # world -> camera: R_cw = R_cb @ R_bw, t = R_cb @ (-R_bw p) + t_cb
+        R_bw = R.T
+        R_cw = R_cb @ R_bw
+        t_cw = -R_cw @ p + t_cb
+        pc = X @ R_cw.T + t_cw
+        r = project_fn(pc) - uv_obs
+        return r, pc
+
+    def residuals(x, w_vis):
+        R, p, v, bias = unpack(x)
+        r_vis, _ = visual_residuals(R, p)
+        r_inr = Wm @ _edge_residual(R_wb0, p_wb0, v_w0, R, p, v, bias, pre, g)
+        r_bias = (bias - bias0) * 10.0  # mild random-walk prior
+        return jnp.concatenate([
+            (r_vis * w_vis[:, None]).reshape(-1), r_inr, r_bias
+        ])
+
+    def weights(x):
+        R, p, v, bias = unpack(x)
+        r_vis, pc = visual_residuals(R, p)
+        chi2 = jnp.sum(r_vis * r_vis, -1) * inv_sigma2
+        w = obs_mask * inv_sigma2 * robust.huber_weight(chi2, robust.HUBER_MONO)
+        w = w * (pc[:, 2] > 1e-3)
+        return jnp.sqrt(jnp.maximum(w, 0.0)), chi2
+
+    def gn_step(carry, _):
+        x, lam = carry
+        w_vis, _ = weights(x)
+        r = residuals(x, w_vis)
+        J = jax.jacfwd(lambda xx: residuals(xx, w_vis))(x)
+        H = J.T @ J + lam * jnp.eye(15, dtype=x.dtype)
+        gvec = J.T @ r
+        dx = -jnp.linalg.solve(H, gvec)
+        x_new = x + dx
+        better = jnp.sum(residuals(x_new, w_vis) ** 2) < jnp.sum(r ** 2)
+        x = jnp.where(better, x_new, x)
+        lam = jnp.where(better, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 5.0, 1e4))
+        return (x, lam), None
+
+    x0 = jnp.zeros(15, jnp.float32)
+    (x, _), _ = jax.lax.scan(gn_step, (x0, jnp.float32(damping)), None,
+                             length=n_iters)
+    R, p, v, bias = unpack(x)
+    _, chi2 = weights(x)
+    inliers = (chi2 <= robust.CHI2_MONO) & (obs_mask > 0)
+    return R, p, v, bias, inliers
