@@ -65,8 +65,10 @@ def log_so3(R):
     cos_th = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     # Angle via atan2(|skew|/2, cos) — much better conditioned than arccos
     # near theta = pi (where arccos loses ~sqrt(eps) digits in float32).
+    # sqrt is guarded away from 0 so autodiff stays finite at identity.
     skew = vee(R - jnp.swapaxes(R, -1, -2))
-    sin_th = jnp.clip(0.5 * jnp.linalg.norm(skew, axis=-1), 0.0, 1.0)
+    sin_th = 0.5 * jnp.sqrt(jnp.maximum(jnp.sum(skew * skew, axis=-1), _EPS * _EPS))
+    sin_th = jnp.clip(sin_th, 0.0, 1.0)
     th = jnp.arctan2(sin_th, cos_th)
 
     # Generic branch: th/(2 sin th) * vee(R - R^T), safe near 0 by series.
@@ -86,7 +88,10 @@ def log_so3(R):
     # axis_i^2 = (d_i - cos)/ (1 - cos)
     denom = jnp.maximum(1.0 - cos_th, _EPS)
     ax2 = jnp.clip((d - cos_th[..., None]) / denom[..., None], 0.0, 1.0)
-    ax = jnp.sqrt(ax2)
+    # Guard the sqrt away from zero: this branch is only *selected* near pi,
+    # but autodiff evaluates it everywhere and sqrt'(0) = inf would leak NaN
+    # through the jnp.where.
+    ax = jnp.sqrt(jnp.maximum(ax2, _EPS))
     # Fix signs using the off-diagonal skew part where available, falling back
     # to making the largest component positive (sign of axis is arbitrary at pi).
     k = jnp.argmax(ax, axis=-1)
