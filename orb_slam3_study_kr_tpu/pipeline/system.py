@@ -1,16 +1,20 @@
-"""Public session API (reference include/System.h): construct the map +
-pipeline stages, route frames, save trajectories.
+"""Public session API (reference include/System.h): constructs the map +
+pipeline stages, routes frames, manages the Atlas lifecycle (vocabulary
+bootstrap, loop closing, relocalization, new-map spawning on sustained
+tracking loss), and saves/loads sessions + trajectories.
 """
 
 import time
 from dataclasses import dataclass, field
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from orb_slam3_study_kr_tpu.pipeline.local_mapping import LocalMapper
 from orb_slam3_study_kr_tpu.pipeline.tracking import (MonoTracker, TrackerConfig,
                                                       TrackState)
-from orb_slam3_study_kr_tpu.slam_map.map_state import Atlas
+from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM, Atlas
 
 
 @dataclass
@@ -18,6 +22,10 @@ class SystemConfig:
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
     max_kf: int = 300
     max_lm: int = 80000
+    enable_loop_closing: bool = True
+    vocab_k: int = 8
+    vocab_L: int = 3
+    vocab_min_kfs: int = 5   # train the vocabulary once this many KFs exist
 
 
 class SlamSystem:
@@ -26,15 +34,112 @@ class SlamSystem:
     def __init__(self, cfg: SystemConfig = None):
         self.cfg = cfg or SystemConfig()
         self.atlas = Atlas()
+        self.voc = None
+        self.db = None
+        self.loop_closer = None
+        self.timings = []
+        self._key = jax.random.PRNGKey(99)
+        self._new_active_map()
+
+    # ------------------------------------------------------------------
+    def _new_active_map(self):
         m = self.atlas.create_map(
             max_kf=self.cfg.max_kf,
             max_kp=self.cfg.tracker.orb_config.total_slots,
             max_lm=self.cfg.max_lm,
         )
         self.local_mapper = LocalMapper(cfg=self.cfg.tracker, map=m)
-        self.tracker = MonoTracker(self.cfg.tracker, m, self.local_mapper)
-        self.timings = []
+        self.tracker = MonoTracker(
+            self.cfg.tracker, m, self.local_mapper,
+            loop_closer=self._on_keyframe_for_loops,
+            relocalizer=self._relocalize,
+            on_tracking_lost=self._on_tracking_lost,
+        )
+        if self.db is not None:
+            # Fresh map, fresh recognition index for it (stored maps keep
+            # their keyframes; merge is the round-2 path).
+            from orb_slam3_study_kr_tpu.bow.database import KeyframeDatabase
+            self.db = KeyframeDatabase(self.voc)
+            from orb_slam3_study_kr_tpu.pipeline.loop_closing import LoopCloser
+            self.loop_closer = LoopCloser(cfg=self.cfg.tracker, map=m, db=self.db)
 
+    # ------------------------------------------------------------------
+    def _ensure_vocabulary(self):
+        if self.voc is not None or not self.cfg.enable_loop_closing:
+            return
+        m = self.atlas.active_map
+        if m.n_kf < self.cfg.vocab_min_kfs:
+            return
+        from orb_slam3_study_kr_tpu.bow import KeyframeDatabase, train_vocabulary
+        from orb_slam3_study_kr_tpu.pipeline.loop_closing import LoopCloser
+        kfs = np.nonzero(m.kf_valid)[0]
+        descs = np.concatenate([
+            m.kf_desc[k][m.kf_kp_valid[k]] for k in kfs
+        ])
+        self.voc = train_vocabulary(descs, k=self.cfg.vocab_k,
+                                    L=self.cfg.vocab_L, seed=0)
+        self.db = KeyframeDatabase(self.voc)
+        self.loop_closer = LoopCloser(cfg=self.cfg.tracker, map=m, db=self.db)
+        for k in kfs:
+            self.db.add(int(k), m.kf_desc[k], m.kf_kp_valid[k])
+
+    def _on_keyframe_for_loops(self, kf: int) -> bool:
+        self._ensure_vocabulary()
+        if self.loop_closer is None:
+            return False
+        return self.loop_closer.process_keyframe(kf)
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, frame) -> bool:
+        """BoW candidates + RANSAC PnP (Tracking::Relocalization)."""
+        if self.db is None:
+            return False
+        from orb_slam3_study_kr_tpu.ops.track_match import match_by_descriptor
+        from orb_slam3_study_kr_tpu.solvers.pnp import ransac_pnp
+
+        m = self.atlas.active_map
+        cfg = self.cfg.tracker
+        cands = self.db.detect_relocalization_candidates(frame.desc, frame.valid)
+        for kf in cands:
+            bound = m.kf_kp_lm[kf] != NO_LM
+            idx, ok, _ = match_by_descriptor(
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                jnp.asarray(m.kf_desc[kf]),
+                jnp.asarray(m.kf_kp_valid[kf] & bound),
+            )
+            idx = np.asarray(idx)
+            ok = np.asarray(ok)
+            if ok.sum() < 15:
+                continue
+            lm = np.where(ok, m.kf_kp_lm[kf][idx], NO_LM)
+            X = m.lm_pos[np.clip(lm, 0, m.max_lm - 1)]
+            mask = (lm != NO_LM) & m.lm_valid[np.clip(lm, 0, m.max_lm - 1)]
+            self._key, sub = jax.random.split(self._key)
+            out = ransac_pnp(
+                sub, cfg.project_fn, cfg.project_jac_fn, cfg.K,
+                jnp.asarray(X), jnp.asarray(frame.uv),
+                jnp.asarray(frame.level), jnp.asarray(mask.astype(np.float32)),
+            )
+            if bool(out["success"]):
+                frame.R_cw = np.asarray(out["R"])
+                frame.t_cw = np.asarray(out["t"])
+                inl = np.asarray(out["inliers"]) & mask
+                frame.kp_lm = np.where(inl, lm, NO_LM).astype(np.int32)
+                frame.pose_ok = True
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    def _on_tracking_lost(self):
+        """Sustained loss: small maps reset in place, established maps are
+        stored and a new one spawned (Tracking::CreateMapInAtlas)."""
+        m = self.atlas.active_map
+        if m.n_kf < 10:
+            self.atlas.maps.pop()
+            self.atlas.active = len(self.atlas.maps) - 1
+        self._new_active_map()
+
+    # ------------------------------------------------------------------
     def track_monocular(self, img, timestamp):
         t0 = time.perf_counter()
         frame = self.tracker.process(img, timestamp)
@@ -57,13 +162,95 @@ class SlamSystem:
                 f.write(f"{ts:.6f} {x:.7f} {y:.7f} {z:.7f} "
                         f"{qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}\n")
 
+    # ------------------------------------------------------------------
+    def save_atlas(self, path):
+        """Whole-session checkpoint (System::SaveAtlas -> .osa equivalent):
+        every map's SoA arrays into one compressed npz."""
+        payload = {"n_maps": np.int64(len(self.atlas.maps)),
+                   "active": np.int64(self.atlas.active)}
+        array_fields = [
+            "kf_R", "kf_t", "kf_valid", "kf_frame_id", "kf_timestamp",
+            "kf_kp_uv", "kf_kp_level", "kf_kp_angle", "kf_kp_valid",
+            "kf_desc", "kf_kp_lm", "lm_pos", "lm_valid", "lm_desc",
+            "lm_normal", "lm_min_dist", "lm_max_dist", "lm_first_kf",
+            "lm_visible", "lm_found",
+        ]
+        for i, m in enumerate(self.atlas.maps):
+            for f_ in array_fields:
+                payload[f"map{i}/{f_}"] = getattr(m, f_)
+            payload[f"map{i}/scalars"] = np.asarray(
+                [m.n_kf, m.n_lm, m.next_lm, m.change_idx, m.map_id])
+        np.savez_compressed(path, **payload)
+
+    def load_atlas(self, path):
+        """Rebuild the Atlas from a checkpoint; the active map resumes."""
+        from orb_slam3_study_kr_tpu.slam_map.map_state import MapState
+
+        data = np.load(path, allow_pickle=False)
+        n_maps = int(data["n_maps"])
+        self.atlas = Atlas()
+        for i in range(n_maps):
+            kf_valid = data[f"map{i}/kf_valid"]
+            m = MapState(
+                max_kf=kf_valid.shape[0],
+                max_kp=data[f"map{i}/kf_desc"].shape[1],
+                max_lm=data[f"map{i}/lm_pos"].shape[0],
+            )
+            for f_ in [
+                "kf_R", "kf_t", "kf_valid", "kf_frame_id", "kf_timestamp",
+                "kf_kp_uv", "kf_kp_level", "kf_kp_angle", "kf_kp_valid",
+                "kf_desc", "kf_kp_lm", "lm_pos", "lm_valid", "lm_desc",
+                "lm_normal", "lm_min_dist", "lm_max_dist", "lm_first_kf",
+                "lm_visible", "lm_found",
+            ]:
+                setattr(m, f_, data[f"map{i}/{f_}"].copy())
+            sc = data[f"map{i}/scalars"]
+            m.n_kf, m.n_lm, m.next_lm, m.change_idx, m.map_id = (
+                int(sc[0]), int(sc[1]), int(sc[2]), int(sc[3]), int(sc[4]))
+            self.atlas.maps.append(m)
+        self.atlas.active = int(data["active"])
+        m = self.atlas.active_map
+        self.local_mapper = LocalMapper(cfg=self.cfg.tracker, map=m)
+        self.tracker = MonoTracker(
+            self.cfg.tracker, m, self.local_mapper,
+            loop_closer=self._on_keyframe_for_loops,
+            relocalizer=self._relocalize,
+            on_tracking_lost=self._on_tracking_lost,
+        )
+        # Restore tracking against the loaded map via relocalization.
+        self.tracker.state = TrackState.NOT_INITIALIZED if m.n_kf == 0 else TrackState.RECENTLY_LOST
+        if m.n_kf:
+            self.tracker.ref_kf = int(np.nonzero(m.kf_valid)[0][-1])
+            # A loaded map needs a recognition index for relocalization.
+            self.voc = None
+            self.db = None
+            self.loop_closer = None
+            self._ensure_vocabulary()
+            # Seed a last_frame so reference-keyframe tracking has a pose.
+            from orb_slam3_study_kr_tpu.pipeline.frame import Frame
+            ref = self.tracker.ref_kf
+            lf = Frame(
+                frame_id=-1, timestamp=float(m.kf_timestamp[ref]),
+                uv=m.kf_kp_uv[ref].copy(), level=m.kf_kp_level[ref].copy(),
+                angle=m.kf_kp_angle[ref].copy(),
+                response=np.zeros(m.max_kp, np.float32),
+                desc=m.kf_desc[ref].copy(), valid=m.kf_kp_valid[ref].copy(),
+            )
+            lf.R_cw = m.kf_R[ref].copy()
+            lf.t_cw = m.kf_t[ref].copy()
+            lf.pose_ok = True
+            self.tracker.last_frame = lf
+            self.tracker.state = TrackState.RECENTLY_LOST
+
     def stats(self):
         m = self.atlas.active_map
         return dict(
             n_frames=self.tracker.stats["n_frames"],
+            n_maps=len(self.atlas.maps),
             n_kf=int(m.kf_valid.sum()),
             n_lm=int(m.lm_valid.sum()),
             track_fail=self.tracker.stats["track_fail"],
             mapper=self.local_mapper.stats,
+            loops=self.loop_closer.stats if self.loop_closer else {},
             mean_frame_ms=1e3 * float(np.mean(self.timings)) if self.timings else 0.0,
         )

@@ -101,10 +101,15 @@ def _pad_rows(a, n, fill=0):
 class MonoTracker:
     """Tracking + (synchronous) mapping driver for one monocular camera."""
 
-    def __init__(self, cfg: TrackerConfig, slam_map: MapState, local_mapper=None):
+    def __init__(self, cfg: TrackerConfig, slam_map: MapState, local_mapper=None,
+                 loop_closer=None, relocalizer=None, on_tracking_lost=None):
         self.cfg = cfg
         self.map = slam_map
         self.local_mapper = local_mapper
+        self.loop_closer = loop_closer          # callable(kf_id) or None
+        self.relocalizer = relocalizer          # callable(frame) -> bool
+        self.on_tracking_lost = on_tracking_lost  # callable() -> None
+        self.lost_counter = 0
         self.state = TrackState.NOT_INITIALIZED
         self.init_ref: Frame | None = None
         self.last_frame: Frame | None = None
@@ -261,15 +266,26 @@ class MonoTracker:
             ok = self._track_reference_kf(frame)
             if not ok:
                 self.stats["refkf_fail"] += 1
+        if not ok and self.relocalizer is not None:
+            ok = self.relocalizer(frame)
         if not ok:
             self.state = TrackState.RECENTLY_LOST
             self.stats["track_fail"] += 1
+            self.lost_counter += 1
             # Keep last pose as a guess so the next frame can try again.
             frame.R_cw = self.last_frame.R_cw
             frame.t_cw = self.last_frame.t_cw
             frame.pose_ok = False
             self.velocity = None
+            # Sustained loss: hand control to the Atlas (new map spawn /
+            # reset — Tracking.cc:2028-2046 CreateMapInAtlas).
+            if (self.lost_counter > self.cfg.fps
+                    and self.on_tracking_lost is not None):
+                self.state = TrackState.LOST
+                self.on_tracking_lost()
+                self.lost_counter = 0
             return
+        self.lost_counter = 0
 
         n_inliers = self._track_local_map(frame)
         if n_inliers < cfg.min_local_inliers:
@@ -507,6 +523,14 @@ class MonoTracker:
             # Mapping may have refined the pose of this keyframe; propagate.
             frame.R_cw = m.kf_R[kf].copy()
             frame.t_cw = m.kf_t[kf].copy()
+        if self.loop_closer is not None:
+            if self.loop_closer(kf):
+                # Loop corrected: poses moved; refresh the frame pose and
+                # drop the velocity model (the reference aborts BA and
+                # resumes from corrected poses).
+                frame.R_cw = m.kf_R[kf].copy()
+                frame.t_cw = m.kf_t[kf].copy()
+                self.velocity = None
 
     # ------------------------------------------------------------------
     def _record_trajectory(self, frame: Frame):
@@ -522,7 +546,7 @@ class MonoTracker:
             )
             self.trajectory.append(
                 (frame.timestamp, ref, np.asarray(Rrel), np.asarray(trel),
-                 self.state, frame.pose_ok)
+                 self.state, frame.pose_ok, self.map)
             )
 
     def final_trajectory(self):
@@ -531,9 +555,8 @@ class MonoTracker:
         timestamp + T_wc position + quaternion [qw qx qy qz]."""
         from orb_slam3_study_kr_tpu.lie.so3 import matrix_to_quat
 
-        m = self.map
         rows = []
-        for ts, ref, Rrel, trel, state, ok in self.trajectory:
+        for ts, ref, Rrel, trel, state, ok, m in self.trajectory:
             if not ok or not m.kf_valid[ref]:
                 continue
             R_cw, t_cw = se3.se3_compose(
