@@ -178,8 +178,9 @@ class LocalMapper:
                 elif lm_old != lm_new and m.lm_valid[lm_old]:
                     # Keep the landmark with more observations, replace the
                     # other everywhere (MapPoint::Replace).
+                    from orb_slam3_study_kr_tpu import native
                     a, b = (lm_new, lm_old) if obs[lm_new] >= obs[lm_old] else (lm_old, lm_new)
-                    m.kf_kp_lm[m.kf_kp_lm == b] = a
+                    native.replace_landmark(m.kf_kp_lm, b, a)
                     m.lm_valid[b] = False
                     self.stats["n_fused"] += 1
         m.n_lm = int(m.lm_valid.sum())

@@ -155,32 +155,28 @@ class MapState:
         """COO observation arrays over the given keyframes (all if None).
 
         Returns (obs_kf, obs_kp, obs_lm) int32 arrays."""
+        from orb_slam3_study_kr_tpu import native
+
         if kf_ids is None:
             kf_ids = np.nonzero(self.kf_valid)[0]
         kf_ids = np.asarray(kf_ids, np.int32)
-        sub = self.kf_kp_lm[kf_ids]  # (n, max_kp)
-        live = sub != NO_LM
-        r, c = np.nonzero(live)
-        return kf_ids[r], c.astype(np.int32), sub[r, c]
+        return native.observations_coo(self.kf_kp_lm, kf_ids)
 
     def landmark_obs_count(self):
         """(max_lm,) number of keyframe observations per landmark."""
-        flat = self.kf_kp_lm[self.kf_valid].ravel()
-        flat = flat[flat != NO_LM]
-        return np.bincount(flat, minlength=self.max_lm)
+        from orb_slam3_study_kr_tpu import native
+
+        return native.landmark_obs_counts(
+            self.kf_kp_lm, self.kf_valid.astype(np.uint8), self.max_lm)
 
     def covisibility(self, kf_id, min_shared=15):
         """Keyframes sharing >= min_shared landmarks with kf_id, sorted by
         weight descending (KeyFrame::UpdateConnections semantics)."""
-        lms = self.kf_kp_lm[kf_id]
-        lms = lms[lms != NO_LM]
-        if lms.size == 0:
-            return np.empty(0, np.int32), np.empty(0, np.int32)
-        seen = np.zeros(self.max_lm, bool)
-        seen[lms] = True
-        shared = (seen[self.kf_kp_lm] & (self.kf_kp_lm != NO_LM)).sum(axis=1)
-        shared[kf_id] = 0
-        shared[~self.kf_valid] = 0
+        from orb_slam3_study_kr_tpu import native
+
+        shared = native.covisibility_counts(
+            self.kf_kp_lm, self.kf_valid.astype(np.uint8), int(kf_id),
+            self.max_lm)
         ids = np.nonzero(shared >= min_shared)[0]
         order = np.argsort(-shared[ids], kind="stable")
         ids = ids[order]
