@@ -253,4 +253,9 @@ class SlamSystem:
             mapper=self.local_mapper.stats,
             loops=self.loop_closer.stats if self.loop_closer else {},
             mean_frame_ms=1e3 * float(np.mean(self.timings)) if self.timings else 0.0,
+            stages=self.tracker.timers.summary(),
         )
+
+    def print_time_stats(self):
+        """Per-stage timing table (Tracking::PrintTimeStats role)."""
+        print(self.tracker.timers.report())

@@ -121,16 +121,20 @@ class MonoTracker:
         self._key = jax.random.PRNGKey(cfg.seed)
         self.stats = {"n_frames": 0, "n_kf": 0, "track_fail": 0,
                       "mm_fail": 0, "refkf_fail": 0, "local_fail": 0}
+        from orb_slam3_study_kr_tpu.utils import StageTimers
+        self.timers = StageTimers()
 
     # ------------------------------------------------------------------
     def process(self, img, timestamp) -> Frame:
         cfg = self.cfg
-        feats = orb.extract_orb(jnp.asarray(img, jnp.float32), cfg.orb_config)
-        uv_und = _undistort(cfg.cam_params, cfg.ideal_params, feats.uv)
+        with self.timers.stage("track/extract"):
+            feats = orb.extract_orb(jnp.asarray(img, jnp.float32), cfg.orb_config)
+            uv_und = np.asarray(
+                _undistort(cfg.cam_params, cfg.ideal_params, feats.uv))
         frame = Frame(
             frame_id=self.frame_count,
             timestamp=timestamp,
-            uv=np.asarray(uv_und),
+            uv=uv_und,
             level=np.asarray(feats.level),
             angle=np.asarray(feats.angle),
             response=np.asarray(feats.response),
@@ -141,9 +145,11 @@ class MonoTracker:
         self.stats["n_frames"] += 1
 
         if self.state == TrackState.NOT_INITIALIZED:
-            self._monocular_initialization(frame)
+            with self.timers.stage("track/initialize"):
+                self._monocular_initialization(frame)
         else:
-            self._track(frame)
+            with self.timers.stage("track/track"):
+                self._track(frame)
 
         self._record_trajectory(frame)
         self.last_frame = frame
@@ -518,13 +524,16 @@ class MonoTracker:
         kp, lms = frame.bound_obs()
         m.update_landmark_stats(lms)
         if self.local_mapper is not None:
-            self.local_mapper.note_new_keyframe(kf)
-            self.local_mapper.run_once()
+            with self.timers.stage("mapping/keyframe"):
+                self.local_mapper.note_new_keyframe(kf)
+                self.local_mapper.run_once()
             # Mapping may have refined the pose of this keyframe; propagate.
             frame.R_cw = m.kf_R[kf].copy()
             frame.t_cw = m.kf_t[kf].copy()
         if self.loop_closer is not None:
-            if self.loop_closer(kf):
+            with self.timers.stage("loop/detect_correct"):
+                loop_hit = self.loop_closer(kf)
+            if loop_hit:
                 # Loop corrected: poses moved; refresh the frame pose and
                 # drop the velocity model (the reference aborts BA and
                 # resumes from corrected poses).
