@@ -218,9 +218,18 @@ def make_textured_world(rng, K=None, width=752, height=480, depth=6.0):
                          width=width, height=height)
 
 
-def render_textured(world: TexturedWorld, R_cw, t_cw, noise_std=1.5, rng=None):
+def stereo_right_pose(R_cw, t_cw, baseline):
+    """Pose of the right camera of a rectified rig: translated `baseline`
+    along the left camera's +x axis, so pc_right = pc_left - [b, 0, 0]."""
+    off = np.array([baseline, 0.0, 0.0], t_cw.dtype)
+    return R_cw, t_cw - off
+
+
+def render_textured(world: TexturedWorld, R_cw, t_cw, noise_std=1.5, rng=None,
+                    return_depth=False):
     """Render one frame by ray casting to the nearest plane (bilinear texture
-    lookup).  Returns (H, W) float32."""
+    lookup).  Returns (H, W) float32; with return_depth also the per-pixel
+    z-depth map (inf where no plane is hit) for the RGB-D path."""
     H, W = world.height, world.width
     K = world.K
     ys, xs = np.mgrid[0:H, 0:W]
@@ -262,4 +271,8 @@ def render_textured(world: TexturedWorld, R_cw, t_cw, noise_std=1.5, rng=None):
         best_t = np.where(hit, tt, best_t)
     if rng is not None and noise_std > 0:
         img = img + rng.normal(0, noise_std, img.shape).astype(np.float32)
-    return np.clip(img, 0, 255)
+    img = np.clip(img, 0, 255)
+    if return_depth:
+        # rays_c has z == 1, so the ray parameter t IS camera z-depth.
+        return img, best_t.astype(np.float32)
+    return img

@@ -298,6 +298,9 @@ def compute_descriptors(img_blur, xs, ys, angles):
     return jax.vmap(one)(patches, iy, ix)
 
 
+PATCH_R = 5  # oriented verification patch radius (11x11)
+
+
 @dataclass(frozen=True)
 class OrbFeatures:
     """SoA keypoint table in level-0 pixel coordinates (fixed capacity)."""
@@ -307,13 +310,34 @@ class OrbFeatures:
     level: jnp.ndarray     # (N,) int32
     desc: jnp.ndarray      # (N, 256) uint8
     valid: jnp.ndarray     # (N,) bool
+    patch: jnp.ndarray = None  # (N, 11, 11) uint8 oriented intensity patch
 
 
 jax.tree_util.register_dataclass(
     OrbFeatures,
-    data_fields=["uv", "response", "angle", "level", "desc", "valid"],
+    data_fields=["uv", "response", "angle", "level", "desc", "valid", "patch"],
     meta_fields=[],
 )
+
+
+def gather_oriented_patches(img, xs, ys, angles, radius=PATCH_R):
+    """(N, 2r+1, 2r+1) patches rotated to the keypoint's canonical
+    orientation (nearest-neighbor sampling on the level image), for
+    appearance verification of matches."""
+    span = int(np.ceil(radius * 1.5)) + 1
+    padded = jnp.pad(img, span)
+    grid = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(grid, grid, indexing="ij")
+
+    def one(x, y, a):
+        ca, sa = jnp.cos(a), jnp.sin(a)
+        rx = gx * ca - gy * sa
+        ry = gx * sa + gy * ca
+        ix = jnp.round(x + rx).astype(jnp.int32) + span
+        iy = jnp.round(y + ry).astype(jnp.int32) + span
+        return padded[iy, ix]
+
+    return jax.vmap(one)(xs.astype(jnp.float32), ys.astype(jnp.float32), angles)
 
 
 def build_pyramid(img, cfg: OrbConfig):
@@ -339,20 +363,22 @@ def extract_level(img_l, quota, cfg: OrbConfig):
     )
     xf, yf = subpixel_refine(s_raw, xs, ys)
     angle = compute_orientation(img_l, xs, ys)
-    desc = compute_descriptors(gaussian_blur7(img_l), xs, ys, angle)
-    return xf, yf, resp, valid, angle, desc
+    blurred = gaussian_blur7(img_l)
+    desc = compute_descriptors(blurred, xs, ys, angle)
+    patch = gather_oriented_patches(blurred, xs, ys, angle).astype(jnp.uint8)
+    return xf, yf, resp, valid, angle, desc, patch
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def extract_orb(img, cfg: OrbConfig) -> OrbFeatures:
     """Full-pyramid ORB extraction; one jit, all shapes static."""
     pyr = build_pyramid(img, cfg)
-    uvs, resps, angles, levels, descs, valids = [], [], [], [], [], []
+    uvs, resps, angles, levels, descs, valids, patches = [], [], [], [], [], [], []
     for l in range(cfg.n_levels):
         q = cfg.level_quotas[l]
         if q == 0:
             continue
-        xs, ys, resp, valid, angle, desc = extract_level(pyr[l], q, cfg)
+        xs, ys, resp, valid, angle, desc, patch = extract_level(pyr[l], q, cfg)
         # Pixel-center alignment: level pixel x maps to level-0 coordinate
         # (x + 0.5) * ratio - 0.5 with the *actual* per-axis resize ratio
         # (nominal 1.2^l drifts from the rounded level sizes).  Without this
@@ -368,6 +394,7 @@ def extract_orb(img, cfg: OrbConfig) -> OrbFeatures:
         levels.append(jnp.full((q,), l, jnp.int32))
         descs.append(desc)
         valids.append(valid)
+        patches.append(patch)
     return OrbFeatures(
         uv=jnp.concatenate(uvs),
         response=jnp.concatenate(resps),
@@ -375,4 +402,5 @@ def extract_orb(img, cfg: OrbConfig) -> OrbFeatures:
         level=jnp.concatenate(levels),
         desc=jnp.concatenate(descs),
         valid=jnp.concatenate(valids),
+        patch=jnp.concatenate(patches),
     )

@@ -54,6 +54,11 @@ def match_stereo(
     idxR = jnp.argmin(d, axis=1)
     best = jnp.min(d, axis=1)
     ok = best <= DESC_GATE
+    # Left-right mutual consistency: the chosen right keypoint's own nearest
+    # left keypoint must be this one (kills repeated-texture mismatches that
+    # produce the heavy depth-error tail).
+    bestL_of_R = jnp.argmin(d, axis=0)          # (NR,)
+    ok = ok & (bestL_of_R[idxR] == jnp.arange(d.shape[0]))
 
     # --- SAD sub-pixel refinement around the matched right column ---
     W = 2 * SAD_WIN + 1
@@ -88,9 +93,19 @@ def match_stereo(
         denom = 2.0 * c - l - r
         delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (r - l) / denom, 0.0)
         delta = jnp.clip(delta, -1.0, 1.0)
-        return (u_r + SLIDE).astype(jnp.float32) - SLIDE + (km - SLIDE) + delta
+        u_ref = (u_r + SLIDE).astype(jnp.float32) - SLIDE + (km - SLIDE) + delta
+        # Border minimum = ambiguous correlation (reference rejects
+        # bestincR at +-L); |delta| at the clip limit likewise.
+        sharp = (k > 0) & (k < 2 * SLIDE) & (jnp.abs(delta) < 1.0)
+        return u_ref, sads[km], sharp
 
-    u_r_ref = jax.vmap(sad_one)(uL, vL, uR0)
+    u_r_ref, sad_best, sharp = jax.vmap(sad_one)(uL, vL, uR0)
+    ok = ok & sharp
+    # Reference tail cull: drop matches whose SAD exceeds 1.5 * 1.4 * median
+    # of accepted SADs (ComputeStereoMatches' final loop).
+    med = jnp.nanmedian(jnp.where(ok, sad_best, jnp.nan))
+    med = jnp.nan_to_num(med, nan=jnp.inf)
+    ok = ok & (sad_best <= 1.5 * 1.4 * med)
     disparity = uvL[:, 0] - u_r_ref
     ok = ok & (disparity > jnp.maximum(min_disp, 1e-3)) & (disparity < max_disp)
     depth = jnp.where(ok, fx * baseline / jnp.maximum(disparity, 1e-6), -1.0)

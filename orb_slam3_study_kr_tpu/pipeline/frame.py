@@ -21,6 +21,9 @@ class Frame:
     response: np.ndarray  # (N,)
     desc: np.ndarray      # (N, 256) uint8
     valid: np.ndarray     # (N,) bool
+    patch: np.ndarray = None  # (N, 11, 11) uint8 oriented patch
+    depth: np.ndarray = None  # (N,) metric depth from stereo/RGB-D, -1 = none
+    u_r: np.ndarray = None    # (N,) right-image u coordinate, -1 = mono-only
     R_cw: np.ndarray = None
     t_cw: np.ndarray = None
     kp_lm: np.ndarray = None   # (N,) landmark binding, NO_LM if none

@@ -16,7 +16,7 @@ import numpy as np
 from orb_slam3_study_kr_tpu.ops import track_match, triangulation_match
 from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM, MapState
 from orb_slam3_study_kr_tpu.solvers import bundle_adjust
-from orb_slam3_study_kr_tpu.solvers.robust import CHI2_MONO
+from orb_slam3_study_kr_tpu.solvers.robust import CHI2_MONO, CHI2_STEREO
 
 
 def _bucket(n, step):
@@ -118,7 +118,8 @@ class LocalMapper:
             kp1 = np.nonzero(good)[0].astype(np.int32)
             kp2 = np.asarray(out["idx2"])[kp1]
             X = np.asarray(out["X"])[kp1]
-            lm_ids = m.add_landmarks(X, m.kf_desc[kf, kp1], kf)
+            lm_ids = m.add_landmarks(X, m.kf_desc[kf, kp1], kf,
+                                     patches=m.kf_kp_patch[kf, kp1])
             m.bind(kf, kp1, lm_ids)
             m.bind(nb, kp2, lm_ids)
             m.update_landmark_stats(lm_ids)
@@ -252,6 +253,13 @@ class LocalMapper:
         ouv = padr(m.kf_kp_uv[okf, okp], O)
         olev = padr(m.kf_kp_level[okf, okp], O)
         omask = padr(np.ones(okf.size, np.float32), O)
+        stereo_kw = {}
+        if cfg.bf > 0:
+            # Stereo observations add the third residual row in BA.
+            stereo_kw = dict(
+                obs_ur=jnp.asarray(padr(m.kf_kp_ur[okf, okp], O, -1.0)),
+                bf=jnp.float32(cfg.bf),
+            )
 
         R, t, X_new, chi2, cost = bundle_adjust(
             cfg.project_fn, cfg.project_jac_fn,
@@ -260,6 +268,7 @@ class LocalMapper:
             jnp.asarray(op), jnp.asarray(ol), jnp.asarray(ouv),
             jnp.asarray(olev), jnp.asarray(omask),
             n_iters=self.ba_iters,
+            **stereo_kw,
         )
         upd = window[fixed[: window.size] == 0]
         sel = kf_index[upd].astype(np.int64)
@@ -269,7 +278,11 @@ class LocalMapper:
         # Cull outlier observations at the chi2 gate (post-BA erase loop).
         # bundle_adjust returns sigma-normalized chi2 already.
         chi2 = np.asarray(chi2)[: okf.size]
-        bad = chi2 > CHI2_MONO
+        if cfg.bf > 0:
+            gate = np.where(m.kf_kp_ur[okf, okp] >= 0, CHI2_STEREO, CHI2_MONO)
+        else:
+            gate = CHI2_MONO
+        bad = chi2 > gate
         m.kf_kp_lm[okf[bad], okp[bad]] = NO_LM
         # Landmarks left with < 2 observations are dead (the reference's
         # MapPoint::EraseObservation -> SetBadFlag cascade), and landmarks

@@ -1,0 +1,175 @@
+"""Stereo (and RGB-D) tracking front end.
+
+Extends the monocular tracker with the reference's stereo semantics
+(Tracking::GrabImageStereo / StereoInitialization, Tracking.cc:2356):
+per-frame rectified stereo matching gives metric depth for a subset of
+keypoints; initialization is immediate (backproject close keypoints into
+landmarks at the first frame), and every new keyframe also spawns
+landmarks from unbound close stereo points (CreateNewKeyFrame's stereo
+branch).  Bundle adjustment currently uses the left-camera reprojection
+residuals; the stereo (u, v, u_r) 3-dof edge is a round-2 refinement —
+metric scale is maintained by the continuous injection of metric-depth
+landmarks.
+
+RGB-D reuses the same path with depth measured instead of matched
+(`depth_to_virtual_right`).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_study_kr_tpu.ops import orb, stereo
+from orb_slam3_study_kr_tpu.pipeline.frame import Frame
+from orb_slam3_study_kr_tpu.pipeline.tracking import (MonoTracker, TrackState,
+                                                      TrackerConfig, _undistort)
+from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM
+
+
+class StereoTracker(MonoTracker):
+    """Tracking driver for a rectified stereo rig (or RGB-D)."""
+
+    def __init__(self, cfg: TrackerConfig, slam_map, baseline=0.11,
+                 depth_factor=40.0, **kw):
+        super().__init__(cfg, slam_map, **kw)
+        self.baseline = float(baseline)
+        # Close-point threshold: mThDepth = fx * baseline * depth_factor / fx
+        self.th_depth = depth_factor * self.baseline
+
+    # ------------------------------------------------------------------
+    def process_stereo(self, img_left, img_right, timestamp) -> Frame:
+        cfg = self.cfg
+        with self.timers.stage("track/extract"):
+            fL = orb.extract_orb(jnp.asarray(img_left, jnp.float32),
+                                 cfg.orb_config)
+            fR = orb.extract_orb(jnp.asarray(img_right, jnp.float32),
+                                 cfg.orb_config)
+            uv_und = np.asarray(
+                _undistort(cfg.cam_params, cfg.ideal_params, fL.uv))
+        with self.timers.stage("track/stereo_match"):
+            u_r, depth, ok = stereo.match_stereo(
+                fL.uv, fL.level, fL.desc, fL.valid,
+                fR.uv, fR.level, fR.desc, fR.valid,
+                jnp.asarray(img_left, jnp.float32),
+                jnp.asarray(img_right, jnp.float32),
+                cfg.fx, self.baseline,
+            )
+        frame = Frame(
+            frame_id=self.frame_count, timestamp=timestamp,
+            uv=uv_und, level=np.asarray(fL.level), angle=np.asarray(fL.angle),
+            response=np.asarray(fL.response), desc=np.asarray(fL.desc),
+            valid=np.asarray(fL.valid), patch=np.asarray(fL.patch),
+        )
+        ok_np = np.asarray(ok)
+        frame.depth = np.where(ok_np, np.asarray(depth), -1.0).astype(np.float32)
+        frame.u_r = np.where(ok_np, np.asarray(u_r), -1.0).astype(np.float32)
+        self.frame_count += 1
+        self.stats["n_frames"] += 1
+
+        if self.state == TrackState.NOT_INITIALIZED:
+            with self.timers.stage("track/initialize"):
+                self._stereo_initialization(frame)
+        else:
+            with self.timers.stage("track/track"):
+                self._track(frame)
+
+        self._record_trajectory(frame)
+        self.last_frame = frame
+        return frame
+
+    def process_rgbd(self, img, depth_map, timestamp) -> Frame:
+        """RGB-D: depth sampled at keypoints replaces stereo matching."""
+        cfg = self.cfg
+        feats = orb.extract_orb(jnp.asarray(img, jnp.float32), cfg.orb_config)
+        uv = np.asarray(feats.uv)
+        frame = Frame(
+            frame_id=self.frame_count, timestamp=timestamp,
+            uv=np.asarray(_undistort(cfg.cam_params, cfg.ideal_params, feats.uv)),
+            level=np.asarray(feats.level), angle=np.asarray(feats.angle),
+            response=np.asarray(feats.response), desc=np.asarray(feats.desc),
+            valid=np.asarray(feats.valid), patch=np.asarray(feats.patch),
+        )
+        xi = np.clip(np.round(uv[:, 0]).astype(int), 0, depth_map.shape[1] - 1)
+        yi = np.clip(np.round(uv[:, 1]).astype(int), 0, depth_map.shape[0] - 1)
+        d = depth_map[yi, xi]
+        frame.depth = np.where(d > 0, d, -1.0).astype(np.float32)
+        # Virtual right coordinate (Frame::ComputeStereoFromRGBD).
+        bf = cfg.fx * self.baseline
+        frame.u_r = np.where(
+            d > 0, frame.uv[:, 0] - bf / np.maximum(d, 1e-6), -1.0
+        ).astype(np.float32)
+        self.frame_count += 1
+        self.stats["n_frames"] += 1
+        if self.state == TrackState.NOT_INITIALIZED:
+            self._stereo_initialization(frame)
+        else:
+            self._track(frame)
+        self._record_trajectory(frame)
+        self.last_frame = frame
+        return frame
+
+    # ------------------------------------------------------------------
+    def _backproject(self, frame, sel):
+        cfg = self.cfg
+        z = frame.depth[sel]
+        x = (frame.uv[sel, 0] - cfg.cx) / cfg.fx * z
+        y = (frame.uv[sel, 1] - cfg.cy) / cfg.fy * z
+        pc = np.stack([x, y, z], -1).astype(np.float32)
+        # camera -> world
+        R, t = frame.R_cw, frame.t_cw
+        return (pc - t) @ R  # R^T (pc - t)
+
+    def _stereo_initialization(self, frame: Frame):
+        """Immediate metric initialization (StereoInitialization): the first
+        frame with enough depth points becomes the origin keyframe."""
+        m = self.map
+        has_depth = frame.valid & (frame.depth > 0)
+        if has_depth.sum() < 100:
+            return
+        frame.R_cw = np.eye(3, dtype=np.float32)
+        frame.t_cw = np.zeros(3, np.float32)
+        kf = m.add_keyframe(frame.R_cw, frame.t_cw, frame.uv, frame.level,
+                            frame.angle, frame.valid, frame.desc,
+                            frame.frame_id, frame.timestamp, patch=frame.patch,
+                            ur=frame.u_r)
+        sel = np.nonzero(has_depth)[0].astype(np.int32)
+        X = self._backproject(frame, sel)
+        lm_ids = m.add_landmarks(X, frame.desc[sel], kf,
+                                 patches=frame.patch[sel])
+        m.bind(kf, sel, lm_ids)
+        m.update_landmark_stats(lm_ids)
+        frame.kp_lm[sel] = lm_ids
+        frame.pose_ok = True
+        frame.ref_kf = kf
+        self.ref_kf = kf
+        self.last_kf_frame_id = frame.frame_id
+        self.state = TrackState.OK
+        self.stats["n_kf"] = 1
+        if self.local_mapper is not None:
+            self.local_mapper.note_new_keyframe(kf)
+
+    def _create_keyframe(self, frame: Frame):
+        """Mono keyframe creation plus the stereo branch: unbound close
+        points become landmarks immediately (CreateNewKeyFrame,
+        Tracking.cc:3258 stereo path)."""
+        super()._create_keyframe(frame)
+        m = self.map
+        kf = self.ref_kf
+        depth = getattr(frame, "depth", None)
+        if depth is None:
+            return
+        free = frame.valid & (frame.kp_lm == NO_LM) & (depth > 0) & (
+            depth < self.th_depth)
+        sel = np.nonzero(free)[0].astype(np.int32)
+        if sel.size == 0:
+            return
+        # Pose may have been refined by mapping; recompute with the KF pose.
+        frame.R_cw = m.kf_R[kf].copy()
+        frame.t_cw = m.kf_t[kf].copy()
+        X = self._backproject(frame, sel)
+        lm_ids = m.add_landmarks(X, frame.desc[sel], kf,
+                                 patches=frame.patch[sel])
+        m.bind(kf, sel, lm_ids)
+        m.update_landmark_stats(lm_ids)
+        frame.kp_lm[sel] = lm_ids
+        if self.local_mapper is not None:
+            self.local_mapper.recent.extend((int(l), kf) for l in lm_ids)

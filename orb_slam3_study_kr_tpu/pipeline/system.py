@@ -20,6 +20,9 @@ from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM, Atlas
 @dataclass
 class SystemConfig:
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    sensor: str = "mono"     # "mono" | "stereo" | "rgbd" (System.h eSensor)
+    baseline: float = 0.11   # stereo baseline [m] (Camera.bf / fx)
+    depth_factor: float = 40.0  # close-point threshold = factor * baseline
     max_kf: int = 300
     max_lm: int = 80000
     enable_loop_closing: bool = True
@@ -29,10 +32,12 @@ class SystemConfig:
 
 
 class SlamSystem:
-    """Monocular SLAM session (System::TrackMonocular path)."""
+    """SLAM session (System::TrackMonocular/TrackStereo/TrackRGBD paths)."""
 
     def __init__(self, cfg: SystemConfig = None):
         self.cfg = cfg or SystemConfig()
+        if self.cfg.sensor != "mono" and self.cfg.tracker.bf == 0.0:
+            self.cfg.tracker.bf = self.cfg.tracker.fx * self.cfg.baseline
         self.atlas = Atlas()
         self.voc = None
         self.db = None
@@ -49,12 +54,7 @@ class SlamSystem:
             max_lm=self.cfg.max_lm,
         )
         self.local_mapper = LocalMapper(cfg=self.cfg.tracker, map=m)
-        self.tracker = MonoTracker(
-            self.cfg.tracker, m, self.local_mapper,
-            loop_closer=self._on_keyframe_for_loops,
-            relocalizer=self._relocalize,
-            on_tracking_lost=self._on_tracking_lost,
-        )
+        self.tracker = self._build_tracker(m)
         if self.db is not None:
             # Fresh map, fresh recognition index for it (stored maps keep
             # their keyframes; merge is the round-2 path).
@@ -62,6 +62,20 @@ class SlamSystem:
             self.db = KeyframeDatabase(self.voc)
             from orb_slam3_study_kr_tpu.pipeline.loop_closing import LoopCloser
             self.loop_closer = LoopCloser(cfg=self.cfg.tracker, map=m, db=self.db)
+
+    def _build_tracker(self, m):
+        kw = dict(
+            local_mapper=self.local_mapper,
+            loop_closer=self._on_keyframe_for_loops,
+            relocalizer=self._relocalize,
+            on_tracking_lost=self._on_tracking_lost,
+        )
+        if self.cfg.sensor == "mono":
+            return MonoTracker(self.cfg.tracker, m, **kw)
+        from orb_slam3_study_kr_tpu.pipeline.stereo_tracking import StereoTracker
+        return StereoTracker(
+            self.cfg.tracker, m, baseline=self.cfg.baseline,
+            depth_factor=self.cfg.depth_factor, **kw)
 
     # ------------------------------------------------------------------
     def _ensure_vocabulary(self):
@@ -146,6 +160,20 @@ class SlamSystem:
         self.timings.append(time.perf_counter() - t0)
         return frame
 
+    def track_stereo(self, img_left, img_right, timestamp):
+        """System::TrackStereo: rectified left/right pair."""
+        t0 = time.perf_counter()
+        frame = self.tracker.process_stereo(img_left, img_right, timestamp)
+        self.timings.append(time.perf_counter() - t0)
+        return frame
+
+    def track_rgbd(self, img, depth_map, timestamp):
+        """System::TrackRGBD: image + registered metric depth map."""
+        t0 = time.perf_counter()
+        frame = self.tracker.process_rgbd(img, depth_map, timestamp)
+        self.timings.append(time.perf_counter() - t0)
+        return frame
+
     @property
     def state(self):
         return self.tracker.state
@@ -171,9 +199,9 @@ class SlamSystem:
         array_fields = [
             "kf_R", "kf_t", "kf_valid", "kf_frame_id", "kf_timestamp",
             "kf_kp_uv", "kf_kp_level", "kf_kp_angle", "kf_kp_valid",
-            "kf_desc", "kf_kp_lm", "lm_pos", "lm_valid", "lm_desc",
-            "lm_normal", "lm_min_dist", "lm_max_dist", "lm_first_kf",
-            "lm_visible", "lm_found",
+            "kf_desc", "kf_kp_patch", "kf_kp_ur", "kf_kp_lm", "lm_pos", "lm_valid",
+            "lm_desc", "lm_patch", "lm_normal", "lm_min_dist", "lm_max_dist",
+            "lm_first_kf", "lm_visible", "lm_found",
         ]
         for i, m in enumerate(self.atlas.maps):
             for f_ in array_fields:
@@ -199,9 +227,9 @@ class SlamSystem:
             for f_ in [
                 "kf_R", "kf_t", "kf_valid", "kf_frame_id", "kf_timestamp",
                 "kf_kp_uv", "kf_kp_level", "kf_kp_angle", "kf_kp_valid",
-                "kf_desc", "kf_kp_lm", "lm_pos", "lm_valid", "lm_desc",
-                "lm_normal", "lm_min_dist", "lm_max_dist", "lm_first_kf",
-                "lm_visible", "lm_found",
+                "kf_desc", "kf_kp_patch", "kf_kp_ur", "kf_kp_lm", "lm_pos", "lm_valid",
+                "lm_desc", "lm_patch", "lm_normal", "lm_min_dist",
+                "lm_max_dist", "lm_first_kf", "lm_visible", "lm_found",
             ]:
                 setattr(m, f_, data[f"map{i}/{f_}"].copy())
             sc = data[f"map{i}/scalars"]
@@ -211,12 +239,7 @@ class SlamSystem:
         self.atlas.active = int(data["active"])
         m = self.atlas.active_map
         self.local_mapper = LocalMapper(cfg=self.cfg.tracker, map=m)
-        self.tracker = MonoTracker(
-            self.cfg.tracker, m, self.local_mapper,
-            loop_closer=self._on_keyframe_for_loops,
-            relocalizer=self._relocalize,
-            on_tracking_lost=self._on_tracking_lost,
-        )
+        self.tracker = self._build_tracker(m)
         # Restore tracking against the loaded map via relocalization.
         self.tracker.state = TrackState.NOT_INITIALIZED if m.n_kf == 0 else TrackState.RECENTLY_LOST
         if m.n_kf:

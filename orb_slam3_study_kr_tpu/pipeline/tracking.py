@@ -50,6 +50,10 @@ class TrackerConfig:
     kf_min_gap: int = 2          # min frames between keyframes
     init_min_parallax: float = 1.5  # degrees; reference uses 1.0
     local_map_size: int = 4096
+    bf: float = 0.0              # fx * stereo baseline; 0 = mono sensor
+    patch_zncc_min: float = -1.0  # appearance gate on matches; <=-1 disables
+    # (infrastructure for round-2 alignment-based verification: plain ZNCC
+    # thresholds do not discriminate sub-texel shifts on smooth texture)
     seed: int = 0
 
     @functools.cached_property
@@ -118,6 +122,7 @@ class MonoTracker:
         self.last_kf_frame_id = -1
         self.ref_kf = -1
         self.trajectory = []  # (timestamp, ref_kf, T_rel_4x4, state)
+        self._speed_hist = []  # recent per-frame camera-center steps
         self._key = jax.random.PRNGKey(cfg.seed)
         self.stats = {"n_frames": 0, "n_kf": 0, "track_fail": 0,
                       "mm_fail": 0, "refkf_fail": 0, "local_fail": 0}
@@ -140,6 +145,7 @@ class MonoTracker:
             response=np.asarray(feats.response),
             desc=np.asarray(feats.desc),
             valid=np.asarray(feats.valid),
+            patch=np.asarray(feats.patch),
         )
         self.frame_count += 1
         self.stats["n_frames"] += 1
@@ -202,12 +208,14 @@ class MonoTracker:
         eye = np.eye(3, dtype=np.float32)
         kf0 = m.add_keyframe(eye, np.zeros(3, np.float32), ref.uv, ref.level,
                              ref.angle, ref.valid, ref.desc, ref.frame_id,
-                             ref.timestamp)
+                             ref.timestamp, patch=ref.patch)
         kf1 = m.add_keyframe(R21.astype(np.float32), t21.astype(np.float32),
                              frame.uv, frame.level, frame.angle, frame.valid,
-                             frame.desc, frame.frame_id, frame.timestamp)
+                             frame.desc, frame.frame_id, frame.timestamp,
+                             patch=frame.patch)
         gi = np.nonzero(good)[0].astype(np.int32)
-        lm_ids = m.add_landmarks(pts[gi].astype(np.float32), ref.desc[gi], kf0)
+        lm_ids = m.add_landmarks(pts[gi].astype(np.float32), ref.desc[gi], kf0,
+                                 patches=ref.patch[gi])
         m.bind(kf0, gi, lm_ids)
         m.bind(kf1, idx[gi], lm_ids)
         m.update_landmark_stats(lm_ids)
@@ -302,6 +310,28 @@ class MonoTracker:
             self.velocity = None
             return
 
+        # Pose sanity gate: a solved pose jumping far beyond the recent
+        # frame-to-frame speed is a coherent mis-registration, not motion
+        # (an aliasing lock "fits" hundreds of wrong matches, NOTES.md).
+        # Reject the frame instead of poisoning trajectory + velocity.
+        if self.last_frame.pose_ok:
+            c_new = -frame.R_cw.T @ frame.t_cw
+            c_old = -self.last_frame.R_cw.T @ self.last_frame.t_cw
+            step = float(np.linalg.norm(c_new - c_old))
+            if len(self._speed_hist) >= 5:
+                med = float(np.median(self._speed_hist))
+                if med > 1e-9 and step > 6.0 * med + 3.0 * np.std(self._speed_hist):
+                    self.stats["sanity_fail"] = self.stats.get("sanity_fail", 0) + 1
+                    self.state = TrackState.RECENTLY_LOST
+                    frame.pose_ok = False
+                    frame.R_cw = self.last_frame.R_cw
+                    frame.t_cw = self.last_frame.t_cw
+                    self.velocity = None
+                    return
+            self._speed_hist.append(step)
+            if len(self._speed_hist) > 10:
+                self._speed_hist.pop(0)
+
         self.state = TrackState.OK
         frame.pose_ok = True
         frame.ref_kf = self.ref_kf
@@ -359,7 +389,26 @@ class MonoTracker:
         lm_slot = np.asarray(lm_slot)
         ok = np.asarray(ok)
         matched_lm = np.where(ok, lm_ids[np.clip(lm_slot, 0, lm_ids.size - 1)], NO_LM)
-        return matched_lm.astype(np.int32), np.asarray(visible), lm_ids
+        matched_lm = matched_lm.astype(np.int32)
+        # Appearance verification: the match's oriented intensity patch must
+        # correlate with the landmark's reference patch.  Descriptor NN on
+        # self-similar texture can lock a coherent wrong registration
+        # (NOTES.md); ZNCC on the raw patches breaks it.
+        if cfg.patch_zncc_min > -1 and frame.patch is not None:
+            sel = np.nonzero(matched_lm != NO_LM)[0]
+            if sel.size:
+                p1 = frame.patch[sel].astype(np.float32).reshape(sel.size, -1)
+                p2 = m.lm_patch[matched_lm[sel]].astype(np.float32).reshape(
+                    sel.size, -1)
+
+                def _norm(p):
+                    p = p - p.mean(1, keepdims=True)
+                    return p / np.maximum(
+                        np.linalg.norm(p, axis=1, keepdims=True), 1e-6)
+
+                z = (_norm(p1) * _norm(p2)).sum(1)
+                matched_lm[sel[z < cfg.patch_zncc_min]] = NO_LM
+        return matched_lm, np.asarray(visible), lm_ids
 
     def _optimize_frame_pose(self, frame, R0, t0):
         cfg, m = self.cfg, self.map
@@ -368,11 +417,16 @@ class MonoTracker:
         frame.kp_lm = np.where(stale, NO_LM, frame.kp_lm).astype(np.int32)
         X = m.lm_pos[np.clip(frame.kp_lm, 0, m.max_lm - 1)]
         mask = (frame.kp_lm != NO_LM) & frame.valid
+        stereo_kw = {}
+        if cfg.bf > 0 and frame.u_r is not None:
+            stereo_kw = dict(ur_obs=jnp.asarray(frame.u_r),
+                             bf=jnp.float32(cfg.bf))
         R, t, inl, n_inl = optimize_pose(
             cfg.project_fn, cfg.project_jac_fn,
             jnp.asarray(R0), jnp.asarray(t0),
             jnp.asarray(X), jnp.asarray(frame.uv),
             jnp.asarray(frame.level), jnp.asarray(mask.astype(np.float32)),
+            **stereo_kw,
         )
         inl = np.asarray(inl) & mask
         frame.R_cw = np.asarray(R)
@@ -491,6 +545,20 @@ class MonoTracker:
         free = frame.kp_lm == NO_LM
         frame.kp_lm = np.where(free, matched_lm, frame.kp_lm).astype(np.int32)
         n = self._optimize_frame_pose(frame, frame.R_cw, frame.t_cw)
+        # Second match<->optimize round: with the refined pose the search
+        # windows re-center, so true matches that the biased prediction
+        # pushed outside the gate re-enter (breaks the pose-gated match-
+        # selection feedback loop, NOTES.md).
+        _, lms_now = frame.bound_obs()
+        cand2 = cand[~np.isin(cand, lms_now)]
+        matched2, _, _ = self._match_against_landmarks(
+            frame, cand2, frame.R_cw, frame.t_cw, th=1.0
+        )
+        free = frame.kp_lm == NO_LM
+        add = free & (matched2 != NO_LM)
+        if add.any():
+            frame.kp_lm = np.where(add, matched2, frame.kp_lm).astype(np.int32)
+            n = self._optimize_frame_pose(frame, frame.R_cw, frame.t_cw)
         _, lms_after = frame.bound_obs()
         m.lm_found[lms_after] += 1
         return n
@@ -515,7 +583,7 @@ class MonoTracker:
         kf = m.add_keyframe(
             frame.R_cw, frame.t_cw, frame.uv, frame.level, frame.angle,
             frame.valid, frame.desc, frame.frame_id, frame.timestamp,
-            kp_lm=frame.kp_lm,
+            kp_lm=frame.kp_lm, patch=frame.patch, ur=frame.u_r,
         )
         self.ref_kf = kf
         frame.ref_kf = kf

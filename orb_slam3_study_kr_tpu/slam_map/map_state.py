@@ -41,12 +41,15 @@ class MapState:
     kf_kp_angle: np.ndarray = None   # (max_kf, max_kp)
     kf_kp_valid: np.ndarray = None   # (max_kf, max_kp) bool
     kf_desc: np.ndarray = None       # (max_kf, max_kp, 256) uint8 {0,1}
+    kf_kp_patch: np.ndarray = None   # (max_kf, max_kp, 11, 11) uint8 oriented patch
+    kf_kp_ur: np.ndarray = None      # (max_kf, max_kp) right-image u, -1 = mono
     kf_kp_lm: np.ndarray = None      # (max_kf, max_kp) int32 landmark id
 
     # --- landmarks ---
     lm_pos: np.ndarray = None        # (max_lm, 3)
     lm_valid: np.ndarray = None      # (max_lm,) bool
     lm_desc: np.ndarray = None       # (max_lm, 256) uint8 representative
+    lm_patch: np.ndarray = None      # (max_lm, 11, 11) uint8 reference patch
     lm_normal: np.ndarray = None     # (max_lm, 3) mean viewing direction
     lm_min_dist: np.ndarray = None   # (max_lm,) scale-invariance band
     lm_max_dist: np.ndarray = None
@@ -76,10 +79,13 @@ class MapState:
         self.kf_kp_angle = np.zeros((k, p), np.float32)
         self.kf_kp_valid = np.zeros((k, p), bool)
         self.kf_desc = np.zeros((k, p, 256), np.uint8)
+        self.kf_kp_patch = np.zeros((k, p, 11, 11), np.uint8)
+        self.kf_kp_ur = np.full((k, p), -1.0, np.float32)
         self.kf_kp_lm = np.full((k, p), NO_LM, np.int32)
         self.lm_pos = np.zeros((m, 3), np.float32)
         self.lm_valid = np.zeros(m, bool)
         self.lm_desc = np.zeros((m, 256), np.uint8)
+        self.lm_patch = np.zeros((m, 11, 11), np.uint8)
         self.lm_normal = np.zeros((m, 3), np.float32)
         self.lm_min_dist = np.zeros(m, np.float32)
         self.lm_max_dist = np.zeros(m, np.float32)
@@ -90,7 +96,8 @@ class MapState:
     # ---------------- keyframes ----------------
 
     def add_keyframe(self, R_cw, t_cw, uv, level, angle, valid, desc,
-                     frame_id, timestamp, kp_lm=None) -> int:
+                     frame_id, timestamp, kp_lm=None, patch=None,
+                     ur=None) -> int:
         if self.n_kf >= self.max_kf:
             raise RuntimeError("keyframe capacity exhausted")
         i = self.n_kf
@@ -106,6 +113,10 @@ class MapState:
         self.kf_kp_angle[i, :n] = angle
         self.kf_kp_valid[i, :n] = valid
         self.kf_desc[i, :n] = desc
+        if patch is not None:
+            self.kf_kp_patch[i, :n] = patch
+        if ur is not None:
+            self.kf_kp_ur[i, :n] = ur
         if kp_lm is not None:
             self.kf_kp_lm[i, :n] = kp_lm
         self.change_idx += 1
@@ -117,7 +128,7 @@ class MapState:
 
     # ---------------- landmarks ----------------
 
-    def add_landmarks(self, positions, descs, first_kf) -> np.ndarray:
+    def add_landmarks(self, positions, descs, first_kf, patches=None) -> np.ndarray:
         n = positions.shape[0]
         if self.next_lm + n > self.max_lm:
             raise RuntimeError("landmark capacity exhausted")
@@ -126,6 +137,8 @@ class MapState:
         self.lm_valid[ids] = True
         self.lm_pos[ids] = positions
         self.lm_desc[ids] = descs
+        if patches is not None:
+            self.lm_patch[ids] = patches
         self.lm_first_kf[ids] = first_kf
         self.lm_visible[ids] = 1
         self.lm_found[ids] = 1

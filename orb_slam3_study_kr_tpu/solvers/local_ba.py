@@ -45,22 +45,34 @@ def bundle_adjust(
     n_iters: int = 10,
     use_huber: bool = True,
     init_lambda: float = 1e-4,
+    obs_ur=None, bf=None,
 ):
-    """Returns (R_cw, t_cw, X, final_chi2 (O,), final_cost)."""
+    """Returns (R_cw, t_cw, X, final_chi2 (O,), final_cost).
+
+    With obs_ur (O,) and bf = fx * baseline, observations with obs_ur >= 0
+    get the reference's third stereo residual row (EdgeStereoSE3ProjectXYZ)
+    and the 3-dof chi2/Huber gate 7.815."""
     K = R_cw.shape[0]
     M = X.shape[0]
     inv_sigma2 = robust.octave_inv_sigma2(obs_level)
+    if obs_ur is None:
+        chi2_gate = robust.CHI2_MONO
+    else:
+        chi2_gate = jnp.where(obs_ur >= 0, robust.CHI2_STEREO,
+                              robust.CHI2_MONO)
+    huber_delta = jnp.sqrt(jnp.asarray(chi2_gate, R_cw.dtype))
 
     def compute(R_all, t_all, X_all):
         Ro, to, Xo = _gather_obs(R_all, t_all, X_all, obs_pose, obs_lm)
         r, J_pose, J_point, p = residual_and_jacobians(
-            project_jac_fn, project_fn, Ro, to, Xo, obs_uv
+            project_jac_fn, project_fn, Ro, to, Xo, obs_uv,
+            ur_obs=obs_ur, bf=bf,
         )
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
         valid = obs_mask * lm_mask[obs_lm] * (p[:, 2] > 1e-3)
         w = inv_sigma2 * valid
         if use_huber:
-            w = w * robust.huber_weight(chi2, robust.HUBER_MONO)
+            w = w * robust.huber_weight(chi2, huber_delta)
         cost = jnp.sum(
             jnp.where(
                 use_huber,
@@ -71,8 +83,8 @@ def bundle_adjust(
         return r, J_pose, J_point, w, chi2, cost, valid
 
     def _huber_rho(chi2):
-        d2 = robust.CHI2_MONO
-        d = robust.HUBER_MONO
+        d2 = chi2_gate
+        d = huber_delta
         r = jnp.sqrt(jnp.maximum(chi2, 1e-12))
         return jnp.where(chi2 <= d2, chi2, 2 * d * r - d2)
 

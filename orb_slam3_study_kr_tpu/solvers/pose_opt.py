@@ -28,6 +28,7 @@ def optimize_pose(
     project_fn, project_jac_fn,
     R_cw, t_cw, X, uv_obs, level, mask,
     damping=1e-3,
+    ur_obs=None, bf=None,
 ):
     """Optimize one camera pose against fixed landmarks.
 
@@ -39,14 +40,26 @@ def optimize_pose(
       uv_obs (N, 2): observed (undistorted) keypoints.
       level (N,): keypoint octave, sets the per-observation information.
       mask (N,): 1.0 for real observations.
+      ur_obs (N,) or None: right-image u for stereo observations (< 0 =
+        mono-only row); bf = fx * baseline.  Adds the reference's stereo
+        residual (PoseOptimization's EdgeStereoSE3ProjectXYZOnlyPose) with
+        the 3-dof chi2 gate 7.815 on those observations.
 
     Returns (R, t, inlier_mask (N,) bool, n_inliers).
     """
     inv_sigma2 = robust.octave_inv_sigma2(level)
+    if ur_obs is None:
+        chi2_gate = robust.CHI2_MONO
+        huber_delta = robust.HUBER_MONO
+    else:
+        has_ur = ur_obs >= 0
+        chi2_gate = jnp.where(has_ur, robust.CHI2_STEREO, robust.CHI2_MONO)
+        huber_delta = jnp.sqrt(chi2_gate)
 
     def residuals(R, t):
         return residual_and_jacobians(
-            project_jac_fn, project_fn, R[None], t[None], X, uv_obs
+            project_jac_fn, project_fn, R[None], t[None], X, uv_obs,
+            ur_obs=ur_obs, bf=bf,
         )
 
     def gn_round(carry, use_huber):
@@ -58,7 +71,7 @@ def optimize_pose(
             chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
             w = inv_sigma2 * mask * inlier
             w = w * jnp.where(
-                use_huber > 0, robust.huber_weight(chi2, robust.HUBER_MONO), 1.0
+                use_huber > 0, robust.huber_weight(chi2, huber_delta), 1.0
             )
             # Observations behind the camera contribute nothing.
             w = w * (p[:, 2] > 1e-3)
@@ -82,7 +95,7 @@ def optimize_pose(
         # flips outliers back in if they re-pass).
         r, _, _, p = residuals(R, t)
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-        inlier = ((chi2 <= robust.CHI2_MONO) & (p[:, 2] > 1e-3)).astype(R.dtype)
+        inlier = ((chi2 <= chi2_gate) & (p[:, 2] > 1e-3)).astype(R.dtype)
         return (R, t, inlier), None
 
     init = (R_cw, t_cw, jnp.ones_like(mask))
