@@ -24,6 +24,7 @@ class Frame:
     patch: np.ndarray = None  # (N, 11, 11) uint8 oriented patch
     depth: np.ndarray = None  # (N,) metric depth from stereo/RGB-D, -1 = none
     u_r: np.ndarray = None    # (N,) right-image u coordinate, -1 = mono-only
+    v_w: np.ndarray = None    # (3,) body velocity in world (inertial only)
     R_cw: np.ndarray = None
     t_cw: np.ndarray = None
     kp_lm: np.ndarray = None   # (N,) landmark binding, NO_LM if none

@@ -20,9 +20,20 @@ from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM, Atlas
 @dataclass
 class SystemConfig:
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
-    sensor: str = "mono"     # "mono" | "stereo" | "rgbd" (System.h eSensor)
+    # "mono" | "stereo" | "rgbd" | "mono-inertial" | "stereo-inertial"
+    # (System.h eSensor)
+    sensor: str = "mono"
     baseline: float = 0.11   # stereo baseline [m] (Camera.bf / fx)
     depth_factor: float = 40.0  # close-point threshold = factor * baseline
+    # --- IMU (inertial sensors only; reference Settings IMU.* keys) ---
+    imu_noise_gyro: float = 1.7e-4
+    imu_noise_acc: float = 2e-3
+    imu_walk_gyro: float = 1.9e-5
+    imu_walk_acc: float = 3e-3
+    imu_freq: float = 200.0
+    imu_R_bc: tuple = None   # 3x3 body<-camera rotation (None = identity)
+    imu_t_bc: tuple = None
+    imu_init_times: tuple = (2.0, 5.0, 15.0)  # t1/t2/t3 stage schedule
     max_kf: int = 300
     max_lm: int = 80000
     enable_loop_closing: bool = True
@@ -36,7 +47,8 @@ class SlamSystem:
 
     def __init__(self, cfg: SystemConfig = None):
         self.cfg = cfg or SystemConfig()
-        if self.cfg.sensor != "mono" and self.cfg.tracker.bf == 0.0:
+        if (self.cfg.sensor in ("stereo", "rgbd", "stereo-inertial")
+                and self.cfg.tracker.bf == 0.0):
             self.cfg.tracker.bf = self.cfg.tracker.fx * self.cfg.baseline
         self.atlas = Atlas()
         self.voc = None
@@ -72,6 +84,22 @@ class SlamSystem:
         )
         if self.cfg.sensor == "mono":
             return MonoTracker(self.cfg.tracker, m, **kw)
+        if self.cfg.sensor.endswith("-inertial"):
+            from orb_slam3_study_kr_tpu.imu.preintegration import ImuCalib
+            from orb_slam3_study_kr_tpu.pipeline.inertial_tracking import (
+                InertialTracker, StereoInertialTracker)
+            c = self.cfg
+            calib = ImuCalib.make(
+                noise_gyro=c.imu_noise_gyro, noise_acc=c.imu_noise_acc,
+                walk_gyro=c.imu_walk_gyro, walk_acc=c.imu_walk_acc,
+                freq=c.imu_freq, R_bc=c.imu_R_bc, t_bc=c.imu_t_bc)
+            if self.cfg.sensor == "mono-inertial":
+                return InertialTracker(
+                    c.tracker, m, calib=calib,
+                    imu_init_times=c.imu_init_times, **kw)
+            return StereoInertialTracker(
+                c.tracker, m, calib=calib, imu_init_times=c.imu_init_times,
+                baseline=c.baseline, depth_factor=c.depth_factor, **kw)
         from orb_slam3_study_kr_tpu.pipeline.stereo_tracking import StereoTracker
         return StereoTracker(
             self.cfg.tracker, m, baseline=self.cfg.baseline,
@@ -154,16 +182,28 @@ class SlamSystem:
         self._new_active_map()
 
     # ------------------------------------------------------------------
-    def track_monocular(self, img, timestamp):
+    def track_monocular(self, img, timestamp, imu=None):
+        """System::TrackMonocular; with imu rows (M, 7) [dt, acc, gyro]
+        covering (t_prev, t] this is the monocular-inertial path."""
         t0 = time.perf_counter()
-        frame = self.tracker.process(img, timestamp)
+        if self.cfg.sensor == "mono-inertial":
+            frame = self.tracker.process_inertial(
+                img, timestamp,
+                imu if imu is not None else np.zeros((0, 7), np.float32))
+        else:
+            frame = self.tracker.process(img, timestamp)
         self.timings.append(time.perf_counter() - t0)
         return frame
 
-    def track_stereo(self, img_left, img_right, timestamp):
-        """System::TrackStereo: rectified left/right pair."""
+    def track_stereo(self, img_left, img_right, timestamp, imu=None):
+        """System::TrackStereo: rectified left/right pair (+ optional IMU)."""
         t0 = time.perf_counter()
-        frame = self.tracker.process_stereo(img_left, img_right, timestamp)
+        if self.cfg.sensor == "stereo-inertial":
+            frame = self.tracker.process_stereo_inertial(
+                img_left, img_right, timestamp,
+                imu if imu is not None else np.zeros((0, 7), np.float32))
+        else:
+            frame = self.tracker.process_stereo(img_left, img_right, timestamp)
         self.timings.append(time.perf_counter() - t0)
         return frame
 

@@ -44,6 +44,9 @@ class MapState:
     kf_kp_patch: np.ndarray = None   # (max_kf, max_kp, 11, 11) uint8 oriented patch
     kf_kp_ur: np.ndarray = None      # (max_kf, max_kp) right-image u, -1 = mono
     kf_kp_lm: np.ndarray = None      # (max_kf, max_kp) int32 landmark id
+    kf_v: np.ndarray = None          # (max_kf, 3) body velocity in world
+    kf_bias: np.ndarray = None       # (max_kf, 6) [bg, ba] IMU bias
+    imu_initialized: bool = False    # Map::SetImuInitialized flag
 
     # --- landmarks ---
     lm_pos: np.ndarray = None        # (max_lm, 3)
@@ -82,6 +85,8 @@ class MapState:
         self.kf_kp_patch = np.zeros((k, p, 11, 11), np.uint8)
         self.kf_kp_ur = np.full((k, p), -1.0, np.float32)
         self.kf_kp_lm = np.full((k, p), NO_LM, np.int32)
+        self.kf_v = np.zeros((k, 3), np.float32)
+        self.kf_bias = np.zeros((k, 6), np.float32)
         self.lm_pos = np.zeros((m, 3), np.float32)
         self.lm_valid = np.zeros(m, bool)
         self.lm_desc = np.zeros((m, 256), np.uint8)
@@ -145,6 +150,27 @@ class MapState:
         self.n_lm = int(self.lm_valid.sum())
         self.change_idx += 1
         return ids
+
+    def apply_scaled_rotation(self, R_gw, scale):
+        """Rigidly re-express the whole map in a rotated, scaled world frame
+        x' = scale * R_gw @ x (Map::ApplyScaledRotation, used by IMU
+        initialization to align gravity with -z and fix metric scale).
+
+        Keyframe poses map as R_cw' = R_cw @ R_gw^T, t_cw' = scale * t_cw,
+        so camera-frame geometry is uniformly scaled; velocities rotate and
+        scale like positions."""
+        R_gw = np.asarray(R_gw, np.float32)
+        s = np.float32(scale)
+        k = self.kf_valid
+        self.kf_R[k] = self.kf_R[k] @ R_gw.T
+        self.kf_t[k] = s * self.kf_t[k]
+        self.kf_v[k] = s * self.kf_v[k] @ R_gw.T
+        l = self.lm_valid
+        self.lm_pos[l] = s * self.lm_pos[l] @ R_gw.T
+        self.lm_normal[l] = self.lm_normal[l] @ R_gw.T
+        self.lm_min_dist[l] *= s
+        self.lm_max_dist[l] *= s
+        self.change_idx += 1
 
     def remove_landmarks(self, ids):
         ids = np.asarray(ids, np.int32)

@@ -47,6 +47,53 @@ def _edge_weights(pre_stack, eps=1e-8):
     return jnp.swapaxes(L, -1, -2)
 
 
+def _linear_init(R_wb, p_vis, pre_stack, fix_scale):
+    """Closed-form seed for (scale, gravity, velocities).
+
+    Given keyframe rotations, the preintegration constraints
+      v_{i+1} = v_i + g dt + R_i dV_i
+      s p_{i+1} = s p_i + v_i dt + 0.5 g dt^2 + R_i dP_i
+    are LINEAR in (s, g, v_0..v_{K-1}) — solve them by least squares
+    (Martinelli-style visual-inertial alignment; replaces the reference's
+    dirG accelerometer average seed, LocalMapping.cc:1208+, with the full
+    linear solution so the GN refinement starts near the optimum)."""
+    K = R_wb.shape[0]
+    dt = pre_stack.dT
+    dV = jnp.einsum("kij,kj->ki", R_wb[:-1], pre_stack.dV)
+    dP = jnp.einsum("kij,kj->ki", R_wb[:-1], pre_stack.dP)
+    dp_vis = p_vis[1:] - p_vis[:-1]
+
+    n_unk = 4 + 3 * K  # [s, g(3), v_i(3K)]
+    rows = []
+    rhs = []
+    for i in range(K - 1):
+        # velocity row block
+        A = jnp.zeros((3, n_unk))
+        A = A.at[:, 1:4].set(-jnp.eye(3) * dt[i])
+        A = A.at[:, 4 + 3 * i:7 + 3 * i].set(-jnp.eye(3))
+        A = A.at[:, 4 + 3 * (i + 1):7 + 3 * (i + 1)].set(jnp.eye(3))
+        rows.append(A)
+        rhs.append(dV[i])
+        # position row block
+        B = jnp.zeros((3, n_unk))
+        B = B.at[:, 0].set(dp_vis[i])
+        B = B.at[:, 1:4].set(-0.5 * jnp.eye(3) * dt[i] * dt[i])
+        B = B.at[:, 4 + 3 * i:7 + 3 * i].set(-jnp.eye(3) * dt[i])
+        rows.append(B)
+        rhs.append(dP[i])
+    A = jnp.concatenate(rows)
+    b = jnp.concatenate(rhs)
+    if fix_scale:
+        # Move the s-column to the rhs with s = 1.
+        b = b - A[:, 0]
+        A = A.at[:, 0].set(0.0)
+    x = jnp.linalg.lstsq(A, b)[0]
+    s = jnp.where(fix_scale, 1.0, x[0])
+    g = x[1:4]
+    v = x[4:].reshape(K, 3)
+    return s, g, v
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
 def inertial_only_optimization(
     R_wb, p_vis, pre_stack: Preintegrated,
@@ -70,10 +117,19 @@ def inertial_only_optimization(
     Wm = _edge_weights(pre_stack)
     g0 = GRAVITY
 
-    # Initial velocities from scaled position differences.
-    dt = jnp.maximum(pre_stack.dT, 1e-4)
-    v0 = (p_vis[1:] - p_vis[:-1]) / dt[:, None]
-    v0 = jnp.concatenate([v0, v0[-1:]], axis=0)
+    # Closed-form linear alignment seeds scale, gravity and velocities —
+    # without it the GN refinement must cross a 7x-scale / 70-deg-gravity
+    # valley and falls into local minima on longer windows.
+    s_lin, g_lin, v0 = _linear_init(R_wb, p_vis, pre_stack, fix_scale)
+    ghat = g_lin / jnp.maximum(jnp.linalg.norm(g_lin), 1e-9)
+    gI = jnp.asarray([0.0, 0.0, -1.0])
+    axis = jnp.cross(gI, ghat)
+    sin_a = jnp.linalg.norm(axis)
+    cos_a = jnp.dot(gI, ghat)
+    angle = jnp.arctan2(sin_a, cos_a)
+    theta0 = jnp.where(sin_a > 1e-6, axis / jnp.maximum(sin_a, 1e-9) * angle,
+                       jnp.zeros(3))
+    log_s0 = jnp.log(jnp.clip(s_lin, 1e-2, 1e2))
 
     def unpack(x):
         th_g = jnp.concatenate([x[:2], jnp.zeros(1, x.dtype)])
@@ -84,7 +140,7 @@ def inertial_only_optimization(
         v = x[9:].reshape(K, 3)
         return R_wg, s, bias, v
 
-    def residuals(x):
+    def edge_block(x):
         R_wg, s, bias, v = unpack(x)
         g = R_wg @ g0
         p = p_vis * s
@@ -95,25 +151,45 @@ def inertial_only_optimization(
                                v[i + 1], bias, pre_i, g)
             return Wm[i] @ r
 
-        r_edges = jax.vmap(one)(jnp.arange(K - 1)).reshape(-1)
+        return jax.vmap(one)(jnp.arange(K - 1))  # (K-1, 9)
+
+    def edge_weights_robust(x):
+        """Self-normalizing IRLS weights: the IMU-whitened edges are
+        dominated by *visual pose* noise whose floor is unknown a priori
+        (it scales with the unknown map scale), so scale the Huber kernel
+        by the current median edge norm instead of a fixed delta."""
+        norms = jnp.linalg.norm(edge_block(x), axis=-1)
+        med = jnp.median(norms)
+        delta = 2.5 * med + 1e-6
+        return jnp.sqrt(robust.huber_weight(norms ** 2, delta))
+
+    def residuals(x, w_edge):
+        r_edges = (edge_block(x) * w_edge[:, None]).reshape(-1)
+        _, _, bias, _ = unpack(x)
         r_prior = jnp.concatenate([
             jnp.sqrt(prior_gyro) * bias[:3],
             jnp.sqrt(prior_acc) * bias[3:],
         ])
         return jnp.concatenate([r_edges, r_prior])
 
-    x0 = jnp.concatenate([jnp.zeros(9, jnp.float32), v0.reshape(-1)])
+    # Start the bias at the preintegration reference (the current estimate)
+    # so weak-prior refinement stages refine rather than re-discover it.
+    bias_ref = pre_stack.bias[0]
+    x0 = jnp.concatenate(
+        [theta0[:2], log_s0[None], bias_ref, v0.reshape(-1)]
+    ).astype(jnp.float32)
 
     def gn_step(carry, _):
         x, lam = carry
-        r = residuals(x)
-        J = jax.jacfwd(residuals)(x)
+        w_edge = edge_weights_robust(x)
+        r = residuals(x, w_edge)
+        J = jax.jacfwd(lambda xx: residuals(xx, w_edge))(x)
         H = J.T @ J
         H = H + lam * (jnp.eye(H.shape[0], dtype=H.dtype) + H * jnp.eye(H.shape[0], dtype=H.dtype))
         gvec = J.T @ r
         dx = -jnp.linalg.solve(H, gvec)
         x_new = x + dx
-        better = jnp.sum(residuals(x_new) ** 2) < jnp.sum(r ** 2)
+        better = jnp.sum(residuals(x_new, w_edge) ** 2) < jnp.sum(r ** 2)
         x = jnp.where(better, x_new, x)
         lam = jnp.where(better, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 5.0, 1e4))
         return (x, lam), None
@@ -121,8 +197,10 @@ def inertial_only_optimization(
     (x, _), _ = jax.lax.scan(gn_step, (x0, jnp.float32(damping)), None,
                              length=n_iters)
     R_wg, s, bias, v = unpack(x)
-    cost = jnp.sum(residuals(x) ** 2)
-    return dict(R_wg=R_wg, scale=s, bias=bias, v=v, cost=cost)
+    edge_norms = jnp.linalg.norm(edge_block(x), axis=-1)
+    cost = jnp.sum(residuals(x, edge_weights_robust(x)) ** 2)
+    return dict(R_wg=R_wg, scale=s, bias=bias, v=v, cost=cost,
+                edge_norms=edge_norms)
 
 
 @functools.partial(jax.jit, static_argnames=("project_fn", "n_iters"))
@@ -161,11 +239,18 @@ def pose_inertial_optimization(
         r = project_fn(pc) - uv_obs
         return r, pc
 
+    # Bias random-walk whitening from the preintegrated walk covariance
+    # (EdgeGyroRW/EdgeAccRW information): over one frame the bias may move
+    # only by the accumulated walk sigma.
+    w_bg = 1.0 / jnp.sqrt(jnp.maximum(pre.cov[9, 9], 1e-12))
+    w_ba = 1.0 / jnp.sqrt(jnp.maximum(pre.cov[12, 12], 1e-12))
+    w_bias = jnp.concatenate([jnp.full(3, w_bg), jnp.full(3, w_ba)])
+
     def residuals(x, w_vis):
         R, p, v, bias = unpack(x)
         r_vis, _ = visual_residuals(R, p)
         r_inr = Wm @ _edge_residual(R_wb0, p_wb0, v_w0, R, p, v, bias, pre, g)
-        r_bias = (bias - bias0) * 10.0  # mild random-walk prior
+        r_bias = (bias - bias0) * w_bias
         return jnp.concatenate([
             (r_vis * w_vis[:, None]).reshape(-1), r_inr, r_bias
         ])
