@@ -5,7 +5,7 @@ driver: render a sequence, run the full pipeline (ORB -> tracking ->
 mapping -> loop machinery), save a TUM trajectory, and score RMS ATE
 against ground truth.
 
-    python examples/run_synthetic.py [n_frames] [out.txt]
+    python examples/run_synthetic.py [n_frames] [out.txt] [--viz DIR]
 """
 
 import sys
@@ -19,17 +19,27 @@ from orb_slam3_study_kr_tpu.pipeline.tracking import TrackerConfig
 
 
 def main():
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "trajectory_tum.txt"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_frames = int(args[0]) if args else 40
+    out_path = args[1] if len(args) > 1 else "trajectory_tum.txt"
+    viz_dir = None
+    if "--viz" in sys.argv:
+        viz_dir = sys.argv[sys.argv.index("--viz") + 1]
 
     rng = np.random.default_rng(1)
     world = synthetic.make_textured_world(rng, depth=6.0)
     R_gt, t_gt = synthetic.lateral_trajectory(n_frames, x_span=1.0,
                                               z_span=0.0, y_amp=0.0)
     slam = SlamSystem(SystemConfig(tracker=TrackerConfig(fps=10)))
+    viewer = None
+    if viz_dir:
+        from orb_slam3_study_kr_tpu.viz import SessionViewer
+        viewer = SessionViewer(slam, viz_dir, stride=5)
     for i in range(n_frames):
         img = synthetic.render_textured(world, R_gt[i], t_gt[i], rng=rng)
         f = slam.track_monocular(img, i * 0.1)
+        if viewer is not None:
+            viewer.update(img, f)
         print(f"frame {i:3d}  {slam.state.name:15s} matches={f.n_matches:4d} "
               f"kf={slam.stats()['n_kf']:3d} lm={slam.stats()['n_lm']:5d}")
 

@@ -28,3 +28,13 @@ Layer map (mirrors SURVEY.md section 1 of the reference):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry accuracy is load-bearing: on TPU the MXU defaults to bfloat16
+# matmul inputs, whose ~0.4% relative error is amplified by depth/baseline
+# ratios (>20x in triangulation) into percent-level 3-D error.  All dots in
+# this package therefore default to full float32; kernels that genuinely
+# want bfloat16 (descriptor-distance matrices, image-space convolutions)
+# opt in explicitly at the call site.
+_jax.config.update("jax_default_matmul_precision", "float32")

@@ -322,20 +322,29 @@ jax.tree_util.register_dataclass(
 
 def gather_oriented_patches(img, xs, ys, angles, radius=PATCH_R):
     """(N, 2r+1, 2r+1) patches rotated to the keypoint's canonical
-    orientation (nearest-neighbor sampling on the level image), for
-    appearance verification of matches."""
-    span = int(np.ceil(radius * 1.5)) + 1
+    orientation (bilinear sampling on the level image), for appearance
+    verification and KLT alignment of matches (ops/klt.py)."""
+    span = int(np.ceil(radius * 1.5)) + 2
     padded = jnp.pad(img, span)
     grid = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(grid, grid, indexing="ij")
 
     def one(x, y, a):
         ca, sa = jnp.cos(a), jnp.sin(a)
-        rx = gx * ca - gy * sa
-        ry = gx * sa + gy * ca
-        ix = jnp.round(x + rx).astype(jnp.int32) + span
-        iy = jnp.round(y + ry).astype(jnp.int32) + span
-        return padded[iy, ix]
+        px = x + gx * ca - gy * sa + span
+        py = y + gx * sa + gy * ca + span
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        wx = px - x0
+        wy = py - y0
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        v00 = padded[y0, x0]
+        v01 = padded[y0, x0 + 1]
+        v10 = padded[y0 + 1, x0]
+        v11 = padded[y0 + 1, x0 + 1]
+        return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+                + wy * ((1 - wx) * v10 + wx * v11))
 
     return jax.vmap(one)(xs.astype(jnp.float32), ys.astype(jnp.float32), angles)
 
@@ -365,20 +374,31 @@ def extract_level(img_l, quota, cfg: OrbConfig):
     angle = compute_orientation(img_l, xs, ys)
     blurred = gaussian_blur7(img_l)
     desc = compute_descriptors(blurred, xs, ys, angle)
-    patch = gather_oriented_patches(blurred, xs, ys, angle).astype(jnp.uint8)
-    return xf, yf, resp, valid, angle, desc, patch
+    # Template patch is sampled at the sub-pixel-refined center so that its
+    # center coincides with the reported keypoint coordinate (the KLT
+    # alignment in ops/klt.py relies on this).
+    patch = gather_oriented_patches(blurred, xf, yf, angle).astype(jnp.uint8)
+    return xf, yf, resp, valid, angle, desc, patch, blurred
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def extract_orb(img, cfg: OrbConfig) -> OrbFeatures:
-    """Full-pyramid ORB extraction; one jit, all shapes static."""
+@functools.partial(jax.jit, static_argnames=("cfg", "with_pyramid"))
+def extract_orb(img, cfg: OrbConfig, with_pyramid: bool = False):
+    """Full-pyramid ORB extraction; one jit, all shapes static.
+
+    With with_pyramid=True additionally returns the (L, H, W) blurred
+    pyramid stack (levels zero-padded to level-0 size) for KLT alignment.
+    """
     pyr = build_pyramid(img, cfg)
     uvs, resps, angles, levels, descs, valids, patches = [], [], [], [], [], [], []
+    blur_stack = {}
     for l in range(cfg.n_levels):
         q = cfg.level_quotas[l]
         if q == 0:
             continue
-        xs, ys, resp, valid, angle, desc, patch = extract_level(pyr[l], q, cfg)
+        xs, ys, resp, valid, angle, desc, patch, blurred = extract_level(
+            pyr[l], q, cfg)
+        if with_pyramid:
+            blur_stack[l] = blurred
         # Pixel-center alignment: level pixel x maps to level-0 coordinate
         # (x + 0.5) * ratio - 0.5 with the *actual* per-axis resize ratio
         # (nominal 1.2^l drifts from the rounded level sizes).  Without this
@@ -395,7 +415,7 @@ def extract_orb(img, cfg: OrbConfig) -> OrbFeatures:
         descs.append(desc)
         valids.append(valid)
         patches.append(patch)
-    return OrbFeatures(
+    feats = OrbFeatures(
         uv=jnp.concatenate(uvs),
         response=jnp.concatenate(resps),
         angle=jnp.concatenate(angles),
@@ -404,3 +424,15 @@ def extract_orb(img, cfg: OrbConfig) -> OrbFeatures:
         valid=jnp.concatenate(valids),
         patch=jnp.concatenate(patches),
     )
+    if with_pyramid:
+        # Stack indexed by level number: levels skipped by a zero quota
+        # still get a (blurred) slot so klt_refine can index by level.
+        stack = []
+        for l in range(cfg.n_levels):
+            h, w = cfg.level_sizes[l]
+            b = blur_stack.get(l)
+            if b is None:
+                b = gaussian_blur7(pyr[l])
+            stack.append(jnp.pad(b, ((0, cfg.height - h), (0, cfg.width - w))))
+        return feats, jnp.stack(stack)
+    return feats

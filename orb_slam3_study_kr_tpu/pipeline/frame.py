@@ -22,6 +22,8 @@ class Frame:
     desc: np.ndarray      # (N, 256) uint8
     valid: np.ndarray     # (N,) bool
     patch: np.ndarray = None  # (N, 11, 11) uint8 oriented patch
+    uv_raw: np.ndarray = None  # (N, 2) raw (distorted) pixel coords
+    pyr: object = None         # (L, H, W) device blurred pyramid (transient)
     depth: np.ndarray = None  # (N,) metric depth from stereo/RGB-D, -1 = none
     u_r: np.ndarray = None    # (N,) right-image u coordinate, -1 = mono-only
     v_w: np.ndarray = None    # (3,) body velocity in world (inertial only)

@@ -39,31 +39,21 @@ class StereoTracker(MonoTracker):
     def process_stereo(self, img_left, img_right, timestamp) -> Frame:
         cfg = self.cfg
         with self.timers.stage("track/extract"):
-            fL = orb.extract_orb(jnp.asarray(img_left, jnp.float32),
-                                 cfg.orb_config)
+            frame = self._extract_frame(img_left, timestamp)
             fR = orb.extract_orb(jnp.asarray(img_right, jnp.float32),
                                  cfg.orb_config)
-            uv_und = np.asarray(
-                _undistort(cfg.cam_params, cfg.ideal_params, fL.uv))
         with self.timers.stage("track/stereo_match"):
             u_r, depth, ok = stereo.match_stereo(
-                fL.uv, fL.level, fL.desc, fL.valid,
+                jnp.asarray(frame.uv_raw), jnp.asarray(frame.level),
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
                 fR.uv, fR.level, fR.desc, fR.valid,
                 jnp.asarray(img_left, jnp.float32),
                 jnp.asarray(img_right, jnp.float32),
                 cfg.fx, self.baseline,
             )
-        frame = Frame(
-            frame_id=self.frame_count, timestamp=timestamp,
-            uv=uv_und, level=np.asarray(fL.level), angle=np.asarray(fL.angle),
-            response=np.asarray(fL.response), desc=np.asarray(fL.desc),
-            valid=np.asarray(fL.valid), patch=np.asarray(fL.patch),
-        )
         ok_np = np.asarray(ok)
         frame.depth = np.where(ok_np, np.asarray(depth), -1.0).astype(np.float32)
         frame.u_r = np.where(ok_np, np.asarray(u_r), -1.0).astype(np.float32)
-        self.frame_count += 1
-        self.stats["n_frames"] += 1
 
         if self.state == TrackState.NOT_INITIALIZED:
             with self.timers.stage("track/initialize"):
@@ -79,15 +69,8 @@ class StereoTracker(MonoTracker):
     def process_rgbd(self, img, depth_map, timestamp) -> Frame:
         """RGB-D: depth sampled at keypoints replaces stereo matching."""
         cfg = self.cfg
-        feats = orb.extract_orb(jnp.asarray(img, jnp.float32), cfg.orb_config)
-        uv = np.asarray(feats.uv)
-        frame = Frame(
-            frame_id=self.frame_count, timestamp=timestamp,
-            uv=np.asarray(_undistort(cfg.cam_params, cfg.ideal_params, feats.uv)),
-            level=np.asarray(feats.level), angle=np.asarray(feats.angle),
-            response=np.asarray(feats.response), desc=np.asarray(feats.desc),
-            valid=np.asarray(feats.valid), patch=np.asarray(feats.patch),
-        )
+        frame = self._extract_frame(img, timestamp)
+        uv = frame.uv_raw
         xi = np.clip(np.round(uv[:, 0]).astype(int), 0, depth_map.shape[1] - 1)
         yi = np.clip(np.round(uv[:, 1]).astype(int), 0, depth_map.shape[0] - 1)
         d = depth_map[yi, xi]
@@ -97,8 +80,6 @@ class StereoTracker(MonoTracker):
         frame.u_r = np.where(
             d > 0, frame.uv[:, 0] - bf / np.maximum(d, 1e-6), -1.0
         ).astype(np.float32)
-        self.frame_count += 1
-        self.stats["n_frames"] += 1
         if self.state == TrackState.NOT_INITIALIZED:
             self._stereo_initialization(frame)
         else:

@@ -54,6 +54,8 @@ class SlamSystem:
         self.voc = None
         self.db = None
         self.loop_closer = None
+        self.map_dbs = {}        # map_id -> KeyframeDatabase (stored maps)
+        self.merger = None
         self.timings = []
         self._key = jax.random.PRNGKey(99)
         self._new_active_map()
@@ -68,10 +70,11 @@ class SlamSystem:
         self.local_mapper = LocalMapper(cfg=self.cfg.tracker, map=m)
         self.tracker = self._build_tracker(m)
         if self.db is not None:
-            # Fresh map, fresh recognition index for it (stored maps keep
-            # their keyframes; merge is the round-2 path).
+            # Fresh map, fresh recognition index for it; the previous map's
+            # index is retained so merge detection can hit its keyframes.
             from orb_slam3_study_kr_tpu.bow.database import KeyframeDatabase
             self.db = KeyframeDatabase(self.voc)
+            self.map_dbs[m.map_id] = self.db
             from orb_slam3_study_kr_tpu.pipeline.loop_closing import LoopCloser
             self.loop_closer = LoopCloser(cfg=self.cfg.tracker, map=m, db=self.db)
 
@@ -121,6 +124,7 @@ class SlamSystem:
         self.voc = train_vocabulary(descs, k=self.cfg.vocab_k,
                                     L=self.cfg.vocab_L, seed=0)
         self.db = KeyframeDatabase(self.voc)
+        self.map_dbs[m.map_id] = self.db
         self.loop_closer = LoopCloser(cfg=self.cfg.tracker, map=m, db=self.db)
         for k in kfs:
             self.db.add(int(k), m.kf_desc[k], m.kf_kp_valid[k])
@@ -129,7 +133,101 @@ class SlamSystem:
         self._ensure_vocabulary()
         if self.loop_closer is None:
             return False
-        return self.loop_closer.process_keyframe(kf)
+        hit = self.loop_closer.process_keyframe(kf)
+        if not hit and len(self.atlas.maps) > 1:
+            hit = self._try_merge(kf)
+        return hit
+
+    # ------------------------------------------------------------------
+    def _try_merge(self, kf: int) -> bool:
+        """Place-recognition against stored maps; weld on a verified hit
+        (LoopClosing::MergeLocal / MergeLocal2 role)."""
+        from orb_slam3_study_kr_tpu.pipeline.map_merging import MapMerger
+
+        if self.merger is None:
+            self.merger = MapMerger(cfg=self.cfg.tracker)
+        mA = self.atlas.active_map
+        fix_scale = (self.cfg.sensor != "mono")
+        for bi, mB in enumerate(self.atlas.maps):
+            if mB is mA:
+                continue
+            db = self.map_dbs.get(mB.map_id)
+            if db is None or mB.n_kf == 0:
+                continue
+            cands = db.detect_relocalization_candidates(
+                mA.kf_desc[kf], mA.kf_kp_valid[kf], n_best=3)
+            for cand in cands:
+                sim3 = self.merger.verify(mA, kf, mB, int(cand),
+                                          fix_scale=fix_scale)
+                if sim3 is None:
+                    continue
+                res = self.merger.merge(mA, kf, mB, int(cand), sim3)
+                if res is None:
+                    continue
+                self._apply_merge(mA, bi, res)
+                return True
+        return False
+
+    def _apply_merge(self, old_map, target_idx, res):
+        """Transplant the session onto the merged map: rebind the pipeline
+        stages, remap tracker state, rescale kinematics by sigma, rewrite
+        trajectory rows, and run the welding local BA."""
+        from orb_slam3_study_kr_tpu.pipeline.loop_closing import LoopCloser
+
+        mB = res.target_map
+        tr = self.tracker
+        # Atlas: drop the absorbed map, activate the target.
+        self.atlas.maps.remove(old_map)
+        self.atlas.active = self.atlas.maps.index(mB)
+        self.map_dbs.pop(old_map.map_id, None)
+
+        # Recognition index for the target map gains the transferred KFs.
+        self.db = self.map_dbs.get(mB.map_id)
+        if self.db is not None:
+            for a, j in res.kf_map.items():
+                self.db.add(int(j), mB.kf_desc[j], mB.kf_kp_valid[j])
+            self.loop_closer = LoopCloser(cfg=self.cfg.tracker, map=mB,
+                                          db=self.db)
+
+        # Pipeline stages follow the new map.
+        self.local_mapper.map = mB
+        tr.map = mB
+
+        def remap_lm(arr):
+            ok = arr != NO_LM
+            out = arr.copy()
+            out[ok] = res.lm_map[np.clip(arr[ok], 0, old_map.max_lm - 1)]
+            return out.astype(np.int32)
+
+        for f in (tr.last_frame, getattr(tr, "init_ref", None)):
+            if f is not None and f.kp_lm is not None:
+                f.kp_lm = remap_lm(f.kp_lm)
+                if f.R_cw is not None:
+                    f.R_cw = f.R_cw @ res.R_BA.T
+                    f.t_cw = (res.sigma * f.t_cw - f.R_cw @ res.t_BA).astype(
+                        np.float32)
+                f.ref_kf = res.kf_map.get(f.ref_kf, -1)
+        tr.ref_kf = res.kf_map.get(tr.ref_kf, max(res.kf_map.values()))
+        if tr.velocity is not None:
+            Rv, tv = tr.velocity
+            tr.velocity = (Rv, (res.sigma * tv).astype(np.float32))
+        tr._speed_hist = [s * res.sigma for s in tr._speed_hist]
+
+        # Trajectory rows of the absorbed map replay against the target map
+        # under the merge transform (relative rotations are invariant;
+        # relative translations scale by sigma).
+        new_rows = []
+        for (ts, ref, Rrel, trel, state, ok, m) in tr.trajectory:
+            if m is old_map:
+                new_rows.append((ts, res.kf_map.get(int(ref), 0), Rrel,
+                                 (res.sigma * trel).astype(np.float32),
+                                 state, ok, mB))
+            else:
+                new_rows.append((ts, ref, Rrel, trel, state, ok, m))
+        tr.trajectory = new_rows
+
+        # Welding BA around the re-entry keyframe (MergeLocal's mini-BA).
+        self.local_mapper._local_ba(tr.ref_kf)
 
     # ------------------------------------------------------------------
     def _relocalize(self, frame) -> bool:
@@ -177,8 +275,9 @@ class SlamSystem:
         stored and a new one spawned (Tracking::CreateMapInAtlas)."""
         m = self.atlas.active_map
         if m.n_kf < 10:
-            self.atlas.maps.pop()
+            self.atlas.maps.remove(m)
             self.atlas.active = len(self.atlas.maps) - 1
+            self.map_dbs.pop(m.map_id, None)
         self._new_active_map()
 
     # ------------------------------------------------------------------
@@ -229,6 +328,47 @@ class SlamSystem:
                 ts, x, y, z, qw, qx, qy, qz = r
                 f.write(f"{ts:.6f} {x:.7f} {y:.7f} {z:.7f} "
                         f"{qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}\n")
+
+    def save_trajectory_euroc(self, path):
+        """EuRoC format: ns-timestamp + pose (System::SaveTrajectoryEuRoC
+        System.cc:662 — same fields as TUM, integer-nanosecond stamps)."""
+        rows = self.trajectory()
+        with open(path, "w") as f:
+            for r in rows:
+                ts, x, y, z, qw, qx, qy, qz = r
+                f.write(f"{int(round(ts * 1e9))} {x:.7f} {y:.7f} {z:.7f} "
+                        f"{qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}\n")
+
+    def save_trajectory_kitti(self, path):
+        """KITTI format: per-frame 3x4 T_wc row-major, no timestamps
+        (System::SaveTrajectoryKITTI)."""
+        from orb_slam3_study_kr_tpu.lie.so3 import quat_to_matrix
+        rows = self.trajectory()
+        with open(path, "w") as f:
+            for r in rows:
+                _, x, y, z, qw, qx, qy, qz = r
+                R = np.asarray(quat_to_matrix(
+                    jnp.asarray([qw, qx, qy, qz], jnp.float32)))
+                vals = np.concatenate(
+                    [np.concatenate([R[i], [(x, y, z)[i]]]) for i in range(3)])
+                f.write(" ".join(f"{v:.9e}" for v in vals) + "\n")
+
+    def save_keyframe_trajectory_tum(self, path):
+        """Keyframe poses only (System::SaveKeyFrameTrajectoryTUM)."""
+        from orb_slam3_study_kr_tpu.lie import se3
+        from orb_slam3_study_kr_tpu.lie.so3 import matrix_to_quat
+        m = self.atlas.active_map
+        kfs = np.nonzero(m.kf_valid)[0]
+        order = np.argsort(m.kf_timestamp[kfs])
+        with open(path, "w") as f:
+            for k in kfs[order]:
+                R_wc, t_wc = se3.se3_inverse(
+                    jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]))
+                q = np.asarray(matrix_to_quat(R_wc))
+                t = np.asarray(t_wc)
+                f.write(f"{m.kf_timestamp[k]:.6f} "
+                        f"{t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                        f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
 
     # ------------------------------------------------------------------
     def save_atlas(self, path):

@@ -54,6 +54,15 @@ class TrackerConfig:
     patch_zncc_min: float = -1.0  # appearance gate on matches; <=-1 disables
     # (infrastructure for round-2 alignment-based verification: plain ZNCC
     # thresholds do not discriminate sub-texel shifts on smooth texture)
+    # --- KLT match verification/refinement (ops/klt.py) ---
+    # After descriptor NN, matches are photometrically aligned against the
+    # landmark's canonical patch: sub-pixel observation refinement + an
+    # appearance gate that actually discriminates (ZNCC measured *after*
+    # alignment, so a low score means wrong content, not sub-texel shift).
+    klt_refine: bool = True
+    klt_zncc_min: float = 0.5    # reject matches below this aligned ZNCC
+    klt_max_shift: float = 3.0   # level px; hitting the clamp = diverged
+    mm_mature_only: bool = True  # motion model matches >=3-obs landmarks
     seed: int = 0
 
     @functools.cached_property
@@ -128,14 +137,27 @@ class MonoTracker:
                       "mm_fail": 0, "refkf_fail": 0, "local_fail": 0}
         from orb_slam3_study_kr_tpu.utils import StageTimers
         self.timers = StageTimers()
+        from orb_slam3_study_kr_tpu.ops import klt as _klt
+        self._level_wh = jnp.asarray(_klt.make_level_wh(cfg.orb_config))
 
     # ------------------------------------------------------------------
-    def process(self, img, timestamp) -> Frame:
+    def _extract_frame(self, img, timestamp) -> Frame:
+        """ORB extraction + undistortion into a Frame (keeps the blurred
+        pyramid on device when KLT match refinement is enabled)."""
         cfg = self.cfg
-        with self.timers.stage("track/extract"):
-            feats = orb.extract_orb(jnp.asarray(img, jnp.float32), cfg.orb_config)
-            uv_und = np.asarray(
-                _undistort(cfg.cam_params, cfg.ideal_params, feats.uv))
+        pyr = None
+        if cfg.klt_refine:
+            feats, pyr = orb.extract_orb(
+                jnp.asarray(img, jnp.float32), cfg.orb_config,
+                with_pyramid=True)
+        else:
+            feats = orb.extract_orb(jnp.asarray(img, jnp.float32),
+                                    cfg.orb_config)
+        # np.array (not asarray): uv/uv_raw/patch are mutated in place by
+        # the KLT refinement, and device->host views are read-only.
+        uv_raw = np.array(feats.uv)
+        uv_und = np.array(
+            _undistort(cfg.cam_params, cfg.ideal_params, feats.uv))
         frame = Frame(
             frame_id=self.frame_count,
             timestamp=timestamp,
@@ -145,10 +167,17 @@ class MonoTracker:
             response=np.asarray(feats.response),
             desc=np.asarray(feats.desc),
             valid=np.asarray(feats.valid),
-            patch=np.asarray(feats.patch),
+            patch=np.array(feats.patch),
         )
+        frame.uv_raw = uv_raw
+        frame.pyr = pyr
         self.frame_count += 1
         self.stats["n_frames"] += 1
+        return frame
+
+    def process(self, img, timestamp) -> Frame:
+        with self.timers.stage("track/extract"):
+            frame = self._extract_frame(img, timestamp)
 
         if self.state == TrackState.NOT_INITIALIZED:
             with self.timers.stage("track/initialize"):
@@ -315,19 +344,37 @@ class MonoTracker:
         # (an aliasing lock "fits" hundreds of wrong matches, NOTES.md).
         # Reject the frame instead of poisoning trajectory + velocity.
         if self.last_frame.pose_ok:
-            c_new = -frame.R_cw.T @ frame.t_cw
-            c_old = -self.last_frame.R_cw.T @ self.last_frame.t_cw
-            step = float(np.linalg.norm(c_new - c_old))
+            def _step_of(f):
+                c_new = -f.R_cw.T @ f.t_cw
+                c_old = -self.last_frame.R_cw.T @ self.last_frame.t_cw
+                return float(np.linalg.norm(c_new - c_old))
+
+            step = _step_of(frame)
             if len(self._speed_hist) >= 5:
                 med = float(np.median(self._speed_hist))
-                if med > 1e-9 and step > 6.0 * med + 3.0 * np.std(self._speed_hist):
-                    self.stats["sanity_fail"] = self.stats.get("sanity_fail", 0) + 1
-                    self.state = TrackState.RECENTLY_LOST
-                    frame.pose_ok = False
-                    frame.R_cw = self.last_frame.R_cw
-                    frame.t_cw = self.last_frame.t_cw
-                    self.velocity = None
-                    return
+                thresh = 6.0 * med + 3.0 * np.std(self._speed_hist)
+                if med > 1e-9 and step > thresh:
+                    # Before rejecting, retry once from the reference
+                    # keyframe with fresh matches and no velocity prior —
+                    # the wrong basin is usually entered via the motion-
+                    # model match set, and a clean re-track recovers.
+                    self.stats["sanity_retry"] = (
+                        self.stats.get("sanity_retry", 0) + 1)
+                    frame.kp_lm = np.full(frame.uv.shape[0], NO_LM, np.int32)
+                    retry_ok = self._track_reference_kf(frame)
+                    if retry_ok:
+                        n_inliers = self._track_local_map(frame)
+                        retry_ok = n_inliers >= cfg.min_local_inliers
+                    step = _step_of(frame) if retry_ok else np.inf
+                    if step > thresh:
+                        self.stats["sanity_fail"] = (
+                            self.stats.get("sanity_fail", 0) + 1)
+                        self.state = TrackState.RECENTLY_LOST
+                        frame.pose_ok = False
+                        frame.R_cw = self.last_frame.R_cw
+                        frame.t_cw = self.last_frame.t_cw
+                        self.velocity = None
+                        return
             self._speed_hist.append(step)
             if len(self._speed_hist) > 10:
                 self._speed_hist.pop(0)
@@ -408,7 +455,53 @@ class MonoTracker:
 
                 z = (_norm(p1) * _norm(p2)).sum(1)
                 matched_lm[sel[z < cfg.patch_zncc_min]] = NO_LM
+        matched_lm = self._klt_refine_matches(frame, matched_lm)
         return matched_lm, np.asarray(visible), lm_ids
+
+    def _klt_refine_matches(self, frame, matched_lm):
+        """Photometric verification + sub-pixel refinement of descriptor
+        matches against the landmarks' canonical patches (ops/klt.py).
+        Rejects matches whose *aligned* appearance still disagrees and
+        moves accepted observations to the aligned position."""
+        cfg, m = self.cfg, self.map
+        if not cfg.klt_refine or frame.pyr is None:
+            return matched_lm
+        # Never re-align a keypoint that is already bound to a landmark: a
+        # later matching round proposing a different landmark must not drag
+        # the existing observation toward the other landmark's template.
+        mask = (matched_lm != NO_LM) & (frame.kp_lm == NO_LM)
+        if not mask.any():
+            return matched_lm
+        from orb_slam3_study_kr_tpu.ops import klt as _klt
+        tmpl = m.lm_patch[np.clip(matched_lm, 0, m.max_lm - 1)]
+        uv_ref, zncc, shift, win = _klt.klt_refine(
+            frame.pyr, self._level_wh, jnp.asarray(frame.uv_raw),
+            jnp.asarray(frame.level), jnp.asarray(frame.angle),
+            jnp.asarray(tmpl), jnp.asarray(mask),
+            max_shift=cfg.klt_max_shift)
+        zncc = np.asarray(zncc)
+        shift = np.asarray(shift)
+        good = mask & (zncc >= cfg.klt_zncc_min) & (shift < cfg.klt_max_shift)
+        if good.any():
+            uv_ref = np.asarray(uv_ref)
+            du = uv_ref[:, 0] - frame.uv_raw[:, 0]
+            frame.uv_raw[good] = uv_ref[good]
+            und = np.asarray(_undistort(cfg.cam_params, cfg.ideal_params,
+                                        jnp.asarray(uv_ref)))
+            frame.uv[good] = und[good]
+            # Stereo: carry the right-image coordinate along (the disparity
+            # was measured at the pre-refinement left position).
+            if frame.u_r is not None:
+                has_r = good & (frame.u_r >= 0)
+                frame.u_r[has_r] += du[has_r]
+            if frame.patch is not None:
+                frame.patch[good] = np.clip(
+                    np.asarray(win), 0, 255).astype(np.uint8)[good]
+        out = matched_lm.copy()
+        out[mask & ~good] = NO_LM
+        self.stats["klt_reject"] = (
+            self.stats.get("klt_reject", 0) + int((mask & ~good).sum()))
+        return out
 
     def _optimize_frame_pose(self, frame, R0, t0):
         cfg, m = self.cfg, self.map
@@ -443,6 +536,16 @@ class MonoTracker:
             return False
         lm_ids = np.unique(lms)
         lm_ids = lm_ids[m.lm_valid[lm_ids]]
+        # Prefer mature landmarks (>= 3 keyframe observations): freshly
+        # triangulated 2-obs points have the largest position error and a
+        # coherent bias in them can drag the pose solve into a wrong basin
+        # (observed at KF+2 on self-similar texture).  Fall back to all
+        # when the mature subset is too small (e.g. right after init).
+        if cfg.mm_mature_only:
+            obs = m.landmark_obs_count()
+            mature = lm_ids[obs[lm_ids] >= 3]
+            if mature.size >= 2 * cfg.min_track_matches:
+                lm_ids = mature
         matched_lm, _, _ = self._match_against_landmarks(
             frame, lm_ids, R_pred, t_pred, th=3.0, wide_gates=True
         )
