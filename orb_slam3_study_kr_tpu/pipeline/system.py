@@ -37,6 +37,9 @@ class SystemConfig:
     max_kf: int = 300
     max_lm: int = 80000
     enable_loop_closing: bool = True
+    # Sustained loss: maps with fewer KFs than this are reset in place,
+    # larger maps are stored and a fresh one spawned (Tracking.cc:2028-2046).
+    min_kf_spawn: int = 10
     vocab_k: int = 8
     vocab_L: int = 3
     vocab_min_kfs: int = 5   # train the vocabulary once this many KFs exist
@@ -274,7 +277,7 @@ class SlamSystem:
         """Sustained loss: small maps reset in place, established maps are
         stored and a new one spawned (Tracking::CreateMapInAtlas)."""
         m = self.atlas.active_map
-        if m.n_kf < 10:
+        if m.n_kf < self.cfg.min_kf_spawn:
             self.atlas.maps.remove(m)
             self.atlas.active = len(self.atlas.maps) - 1
             self.map_dbs.pop(m.map_id, None)

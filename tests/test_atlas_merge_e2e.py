@@ -22,7 +22,7 @@ def test_blackout_spawns_map_then_merge():
     blackout = 14
 
     slam = SlamSystem(SystemConfig(
-        tracker=TrackerConfig(fps=10), vocab_min_kfs=4))
+        tracker=TrackerConfig(fps=10), vocab_min_kfs=4, min_kf_spawn=6))
     ts = 0.0
     # Segment 1: frames 0..n_seg-1.
     for i in range(n_seg):
