@@ -189,9 +189,28 @@ class TexturedWorld:
     K: np.ndarray
     width: int
     height: int
+    kb8_params: tuple = None  # (fx, fy, cx, cy, k1..k4): render as fisheye
 
 
-def make_textured_world(rng, K=None, width=752, height=480, depth=6.0):
+def _kb8_rays(params, xs, ys):
+    """Kannala-Brandt unprojection of a pixel grid (numpy; render-side twin
+    of cameras/kb8.py unproject)."""
+    fx, fy, cx, cy, k1, k2, k3, k4 = params[:8]
+    mx = (xs - cx) / fx
+    my = (ys - cy) / fy
+    td = np.clip(np.sqrt(mx * mx + my * my), 1e-9, np.pi)
+    theta = td.copy()
+    for _ in range(10):
+        th2 = theta * theta
+        poly = 1 + th2 * (k1 + th2 * (k2 + th2 * (k3 + th2 * k4)))
+        dpoly = 1 + th2 * (3 * k1 + th2 * (5 * k2 + th2 * (7 * k3 + th2 * 9 * k4)))
+        theta = theta - (theta * poly - td) / np.maximum(dpoly, 1e-9)
+    scale = np.tan(theta) / td
+    return np.stack([mx * scale, my * scale, np.ones_like(mx)], axis=-1)
+
+
+def make_textured_world(rng, K=None, width=752, height=480, depth=6.0,
+                        kb8_params=None):
     if K is None:
         K = np.array([[458.0, 0, width / 2], [0, 457.0, height / 2], [0, 0, 1.0]])
     planes = []
@@ -215,7 +234,7 @@ def make_textured_world(rng, K=None, width=752, height=480, depth=6.0):
             tex=_multi_octave_texture(rng), scale=120.0,
         ))
     return TexturedWorld(planes=planes, K=K.astype(np.float32),
-                         width=width, height=height)
+                         width=width, height=height, kb8_params=kb8_params)
 
 
 def inertial_trajectory(n_frames, fps=10.0, imu_freq=200.0,
@@ -334,10 +353,14 @@ def render_textured(world: TexturedWorld, R_cw, t_cw, noise_std=1.5, rng=None,
     H, W = world.height, world.width
     K = world.K
     ys, xs = np.mgrid[0:H, 0:W]
-    rays_c = np.stack(
-        [(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1], np.ones_like(xs, np.float64)],
-        axis=-1,
-    )
+    if world.kb8_params is not None:
+        rays_c = _kb8_rays(np.asarray(world.kb8_params, np.float64),
+                           xs.astype(np.float64), ys.astype(np.float64))
+    else:
+        rays_c = np.stack(
+            [(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1], np.ones_like(xs, np.float64)],
+            axis=-1,
+        )
     R_wc = R_cw.T
     c = -R_wc @ t_cw  # camera center in world
     rays_w = rays_c @ R_wc.T  # (H, W, 3)

@@ -1,0 +1,113 @@
+"""Global bundle adjustment over a whole map.
+
+Replaces Optimizer::GlobalBundleAdjustemnt (/root/reference/src/
+Optimizer.cc:53) + LoopClosing::RunGlobalBundleAdjustment
+(/root/reference/src/LoopClosing.cc:2273): after a loop correction the
+entire map (all keyframes + landmarks) is refined with a bounded-iteration
+LM solve.  The reference runs this in a transient thread and then
+propagates corrections down the spanning tree to keyframes created
+meanwhile; the array-state pipeline is synchronous, so every keyframe is in
+the solve and no propagation pass is needed.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM, MapState
+from orb_slam3_study_kr_tpu.solvers import bundle_adjust
+from orb_slam3_study_kr_tpu.solvers.robust import CHI2_MONO, CHI2_STEREO
+
+# The Schur kernel materializes a (K, M, 6, 3) cross block; cap its size so
+# a huge map falls back to skipping GBA instead of an OOM (the pose-graph
+# solve has already absorbed the loop correction at that point).
+MAX_CROSS_BLOCK_FLOATS = 1 << 28  # 2^28 floats = 1 GiB fp32
+
+
+def _bucket(n, step):
+    return max(step, -(-n // step) * step)
+
+
+def _padr(a, n, fill=0):
+    if a.shape[0] >= n:
+        return a[:n]
+    return np.concatenate(
+        [a, np.full((n - a.shape[0], *a.shape[1:]), fill, a.dtype)])
+
+
+def global_bundle_adjustment(cfg, m: MapState, n_iters: int = 10,
+                             cull_outliers: bool = True) -> bool:
+    """Full-map BA.  Returns False if the map exceeds the memory budget.
+
+    Gauge: the two oldest keyframes are frozen (the reference fixes the
+    origin keyframe; monocular scale needs a second anchor)."""
+    kfs = np.nonzero(m.kf_valid)[0].astype(np.int32)
+    if kfs.size < 3:
+        return False
+    obs_cnt = m.landmark_obs_count()
+    lms = np.nonzero(m.lm_valid & (obs_cnt >= 2))[0].astype(np.int32)
+    if lms.size < 20:
+        return False
+
+    okf, okp, olm = m.observations(kfs)
+    sel = np.zeros(m.max_lm, bool)
+    sel[lms] = True
+    keep = sel[olm]
+    okf, okp, olm = okf[keep], okp[keep], olm[keep]
+
+    K = _bucket(kfs.size, 8)
+    M = _bucket(lms.size, 2048)
+    O = _bucket(okf.size, 8192)
+    if K * M * 18 > MAX_CROSS_BLOCK_FLOATS:
+        return False
+
+    kf_index = np.full(m.max_kf, -1, np.int64)
+    kf_index[kfs] = np.arange(kfs.size)
+    lm_index = np.full(m.max_lm, -1, np.int64)
+    lm_index[lms] = np.arange(lms.size)
+
+    order = np.argsort(m.kf_timestamp[kfs], kind="stable")
+    fixed = np.zeros(kfs.size, np.float32)
+    fixed[order[:2]] = 1.0
+
+    R_all = _padr(m.kf_R[kfs], K)
+    R_all[kfs.size:] = np.eye(3)
+    t_all = _padr(m.kf_t[kfs], K)
+    fixed_p = _padr(fixed, K, 1.0)
+    X = _padr(m.lm_pos[lms], M)
+    lm_mask = _padr(np.ones(lms.size, np.float32), M)
+    op = _padr(kf_index[okf].astype(np.int32), O)
+    ol = _padr(lm_index[olm].astype(np.int32), O)
+    ouv = _padr(m.kf_kp_uv[okf, okp], O)
+    olev = _padr(m.kf_kp_level[okf, okp], O)
+    omask = _padr(np.ones(okf.size, np.float32), O)
+    stereo_kw = {}
+    if cfg.bf > 0:
+        stereo_kw = dict(obs_ur=jnp.asarray(_padr(m.kf_kp_ur[okf, okp], O, -1.0)),
+                         bf=jnp.float32(cfg.bf))
+
+    R, t, X_new, chi2, _ = bundle_adjust(
+        cfg.project_fn, cfg.project_jac_fn,
+        jnp.asarray(R_all), jnp.asarray(t_all), jnp.asarray(fixed_p),
+        jnp.asarray(X), jnp.asarray(lm_mask),
+        jnp.asarray(op), jnp.asarray(ol), jnp.asarray(ouv),
+        jnp.asarray(olev), jnp.asarray(omask),
+        n_iters=n_iters, **stereo_kw,
+    )
+    upd = kfs[fixed == 0]
+    m.kf_R[upd] = np.asarray(R)[kf_index[upd]]
+    m.kf_t[upd] = np.asarray(t)[kf_index[upd]]
+    m.lm_pos[lms] = np.asarray(X_new)[: lms.size]
+
+    if cull_outliers:
+        chi2 = np.asarray(chi2)[: okf.size]
+        if cfg.bf > 0:
+            gate = np.where(m.kf_kp_ur[okf, okp] >= 0, CHI2_STEREO, CHI2_MONO)
+        else:
+            gate = CHI2_MONO
+        bad = chi2 > gate
+        m.kf_kp_lm[okf[bad], okp[bad]] = NO_LM
+        orphan = np.nonzero(m.lm_valid & (m.landmark_obs_count() < 2))[0]
+        if orphan.size:
+            m.remove_landmarks(orphan)
+    m.change_idx += 1
+    return True

@@ -300,20 +300,25 @@ class ImuMixin:
         self.stats["imu_init_last_s"] = s
         if not np.isfinite(s) or s < 1e-2 or s > 1e2:
             return False
-        # Internal-consistency gate: when visual keyframe poses are not yet
-        # mutually consistent (mono scale drift / a tracking glitch inside
-        # the window), the whitened inertial edges cannot be brought down
-        # and the fitted scale is meaningless — retry at the next keyframe
-        # instead of poisoning the map (measured: healthy solves sit at
-        # median norm ~30-80, corrupted ones at 200+).
-        if float(np.median(np.asarray(out["edge_norms"]))) > 100.0:
-            return False
-        if m.imu_initialized:
-            # Refinement stages on an already-aligned metric map must be
-            # small corrections; a large jump is a bad local minimum.
+        if not m.imu_initialized:
+            # First metric alignment: when visual keyframe poses are not
+            # yet mutually consistent (mono scale drift / a tracking glitch
+            # inside the window), the whitened inertial edges cannot be
+            # brought down and the fitted scale is meaningless — retry at
+            # the next keyframe instead of poisoning the map (measured:
+            # healthy solves sit at median norm ~30-80, corrupted at 200+).
+            if float(np.median(np.asarray(out["edge_norms"]))) > 100.0:
+                return False
+        else:
+            # Refinement stages (the reference applies VIBA1/VIBA2
+            # unconditionally on schedule, LocalMapping.cc:187-249): keep
+            # only sanity bounds.  The scale band is wide on purpose — a
+            # coarse first init over a short window can be several x off,
+            # and the refinement's whole job is to fix that (measured: a
+            # 0.7..1.4 band left a 4.5x mis-scale permanently locked in).
             ang = np.degrees(np.arccos(np.clip(
                 (np.trace(np.asarray(out["R_wg"])) - 1) / 2, -1, 1)))
-            if not (0.7 < s < 1.4 and ang < 20.0):
+            if not (0.2 < s < 5.0 and ang < 45.0):
                 return False
             bias_jump = np.abs(np.asarray(out["bias"]) - self.bias)
             if bias_jump[3:].max() > 0.5 or bias_jump[:3].max() > 0.05:

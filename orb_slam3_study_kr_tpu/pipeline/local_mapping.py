@@ -30,10 +30,18 @@ class LocalMapper:
     n_neighbors: int = 20        # covisible keyframes used for triangulation
     ba_window: int = 12          # optimized keyframes in local BA
     ba_iters: int = 8
+    # KeyFrameCulling (LocalMapping.cc:932): a covisible keyframe whose
+    # observations are >= redundancy_th covered by >= 3 other keyframes at
+    # the same-or-finer scale is removed.  Disabled for inertial sessions
+    # this round (the reference merges preintegrations on erase).
+    enable_kf_culling: bool = True
+    kf_redundancy_th: float = 0.9
+    on_kf_culled: "callable" = None  # callback(kf_id) for index maintenance
     recent: list = field(default_factory=list)  # (lm_id, created_kf)
     queue: list = field(default_factory=list)
     stats: dict = field(default_factory=lambda: {"n_created": 0, "n_culled": 0,
-                                                 "n_fused": 0, "n_ba": 0})
+                                                 "n_fused": 0, "n_ba": 0,
+                                                 "n_kf_culled": 0})
 
     def note_new_keyframe(self, kf_id: int):
         self.queue.append(kf_id)
@@ -53,6 +61,8 @@ class LocalMapper:
         self._fuse_neighbors(kf)
         if m.n_kf >= 3:
             self._local_ba(kf)
+        if self.enable_kf_culling and m.n_kf >= 5:
+            self._cull_keyframes(kf)
 
     # ------------------------------------------------------------------
     def _cull_recent(self, kf: int):
@@ -186,6 +196,57 @@ class LocalMapper:
                     self.stats["n_fused"] += 1
         m.n_lm = int(m.lm_valid.sum())
         m.update_landmark_stats(lms_kf)
+
+    # ------------------------------------------------------------------
+    def _cull_keyframes(self, kf: int):
+        """KeyFrameCulling (LocalMapping.cc:932): erase covisible keyframes
+        whose landmarks (with > 3 total observations) are at least
+        `kf_redundancy_th` observed by >= 3 other keyframes at pyramid level
+        <= own level + 1.  Culled frames leave a redirect to their best
+        covisible neighbor so trajectory replay stays exact."""
+        m = self.map
+        neighbors, _ = m.covisibility(kf, min_shared=15)
+        if neighbors.size == 0:
+            return
+        obs = m.landmark_obs_count()
+        okf_all, okp_all, olm_all = m.observations()
+        for c in neighbors:
+            c = int(c)
+            # Never the map-origin keyframes (gauge anchors / GBA roots) or
+            # the keyframe under processing.
+            if c <= 1 or c == kf or not m.kf_valid[c]:
+                continue
+            kp = np.nonzero(m.kf_kp_valid[c] & (m.kf_kp_lm[c] != NO_LM))[0]
+            lms = m.kf_kp_lm[c, kp]
+            live = m.lm_valid[lms]
+            kp, lms = kp[live], lms[live]
+            if lms.size == 0:
+                continue
+            lvl = m.kf_kp_level[c, kp]
+            # Scale-aware observer counts from every other keyframe.
+            lm_index = np.full(m.max_lm, -1, np.int64)
+            lm_index[lms] = np.arange(lms.size)
+            sel = (okf_all != c) & (lm_index[olm_all] >= 0)
+            oi = lm_index[olm_all[sel]]
+            finer = (m.kf_kp_level[okf_all[sel], okp_all[sel]]
+                     <= lvl[oi] + 1)
+            cnt = np.bincount(oi[finer], minlength=lms.size)
+            redundant = (obs[lms] > 3) & (cnt >= 3)
+            if redundant.sum() <= self.kf_redundancy_th * lms.size:
+                continue
+            parents, _ = m.covisibility(c, min_shared=1)
+            parents = parents[parents != c]
+            if parents.size == 0:
+                continue
+            m.cull_keyframe(c, int(parents[0]))
+            # Keep the COO view in sync for subsequent candidates.
+            dead = okf_all == c
+            okf_all, okp_all, olm_all = (okf_all[~dead], okp_all[~dead],
+                                         olm_all[~dead])
+            obs = m.landmark_obs_count()
+            self.stats["n_kf_culled"] += 1
+            if self.on_kf_culled is not None:
+                self.on_kf_culled(c)
 
     # ------------------------------------------------------------------
     def _local_ba(self, kf: int):

@@ -35,8 +35,11 @@ class LoopCloser:
     map: MapState
     db: KeyframeDatabase
     inertial: bool = False
+    run_gba: bool = True    # full-map BA after the pose-graph correction
+    gba_iters: int = 10     # LoopClosing.cc:2289 nIterations=10
     stats: dict = field(default_factory=lambda: {
-        "n_queries": 0, "n_candidates": 0, "n_verified": 0, "n_corrected": 0})
+        "n_queries": 0, "n_candidates": 0, "n_verified": 0, "n_corrected": 0,
+        "n_gba": 0})
     _key: object = None
 
     def __post_init__(self):
@@ -198,3 +201,10 @@ class LoopCloser:
             m.lm_pos[lms] = np.einsum(
                 "nji,nj->ni", Rn, pc - tn) / sn[:, None]
         m.change_idx += 1
+        # Global BA refines the pose-graph solution over the whole map
+        # (RunGlobalBundleAdjustment, LoopClosing.cc:2273).
+        if self.run_gba:
+            from orb_slam3_study_kr_tpu.pipeline.global_ba import (
+                global_bundle_adjustment)
+            if global_bundle_adjustment(self.cfg, m, n_iters=self.gba_iters):
+                self.stats["n_gba"] += 1

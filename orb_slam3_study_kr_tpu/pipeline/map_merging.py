@@ -74,13 +74,13 @@ class MapMerger:
         ok = np.asarray(ok)
         if ok.sum() < MIN_BOW_MATCHES:
             return None
-        kp1 = np.nonzero(ok)[0]
+        N = 256
+        kp1 = np.nonzero(ok)[0][:N]  # RANSAC problem is padded to N pairs
         kp2 = idx[kp1]
         lm1 = mA.kf_kp_lm[kf, kp1]
         lm2 = mB.kf_kp_lm[cand, kp2]
         P1 = mA.lm_pos[lm1] @ mA.kf_R[kf].T + mA.kf_t[kf]
         P2 = mB.lm_pos[lm2] @ mB.kf_R[cand].T + mB.kf_t[cand]
-        N = 256
 
         def pad(a, fill=0):
             out = np.full((N, *a.shape[1:]), fill, a.dtype)
@@ -110,7 +110,7 @@ class MapMerger:
         capacity (merge is then skipped rather than truncated)."""
         kfsA = np.nonzero(mA.kf_valid)[0]
         lmsA = np.nonzero(mA.lm_valid)[0]
-        if (mB.n_kf + kfsA.size > mB.max_kf
+        if (mB.next_kf + kfsA.size > mB.max_kf
                 or mB.next_lm + lmsA.size > mB.max_lm):
             return None
 

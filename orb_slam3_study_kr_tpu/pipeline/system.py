@@ -70,8 +70,23 @@ class SlamSystem:
             max_kp=self.cfg.tracker.orb_config.total_slots,
             max_lm=self.cfg.max_lm,
         )
-        self.local_mapper = LocalMapper(cfg=self.cfg.tracker, map=m)
+        old_tracker = getattr(self, "tracker", None)
+        self.local_mapper = LocalMapper(
+            cfg=self.cfg.tracker, map=m,
+            # Inertial sessions keep every keyframe this round: the temporal
+            # prev->next IMU chain would need preintegration merging on
+            # erase (reference Preintegrated::MergePrevious).
+            enable_kf_culling=not self.cfg.sensor.endswith("-inertial"),
+            on_kf_culled=self._on_kf_culled,
+        )
         self.tracker = self._build_tracker(m)
+        if old_tracker is not None:
+            # The session's relative-pose log spans map spawns (reference
+            # mlRelativeFramePoses lives in Tracking, which is never
+            # recreated); keep frame ids monotonic across maps too.
+            self.tracker.trajectory = old_tracker.trajectory
+            self.tracker.frame_count = old_tracker.frame_count
+            self.tracker.only_tracking = old_tracker.only_tracking
         if self.db is not None:
             # Fresh map, fresh recognition index for it; the previous map's
             # index is retained so merge detection can hit its keyframes.
@@ -222,6 +237,11 @@ class SlamSystem:
         new_rows = []
         for (ts, ref, Rrel, trel, state, ok, m) in tr.trajectory:
             if m is old_map:
+                # Culled references climb their redirect chain in the old
+                # map first (kf_map only covers live keyframes).
+                ref, Rrel, trel = old_map.resolve_kf(int(ref), Rrel, trel)
+                if ref < 0:
+                    continue
                 new_rows.append((ts, res.kf_map.get(int(ref), 0), Rrel,
                                  (res.sigma * trel).astype(np.float32),
                                  state, ok, mB))
@@ -231,6 +251,22 @@ class SlamSystem:
 
         # Welding BA around the re-entry keyframe (MergeLocal's mini-BA).
         self.local_mapper._local_ba(tr.ref_kf)
+
+    # ------------------------------------------------------------------
+    def _on_kf_culled(self, kf: int):
+        """A keyframe was erased by LocalMapping: drop it from the
+        recognition index and re-point the tracker if it was the reference
+        (the reference's KeyFrameDatabase::erase + Tracking's bad-KF
+        replacement in UpdateLocalKeyFrames)."""
+        if self.db is not None:
+            self.db.erase(kf)
+        tr = self.tracker
+        m = self.atlas.active_map
+        if tr.ref_kf == kf:
+            live, _, _ = m.resolve_kf(kf, np.eye(3, dtype=np.float32),
+                                      np.zeros(3, np.float32))
+            tr.ref_kf = live if live >= 0 else int(
+                np.nonzero(m.kf_valid)[0][-1])
 
     # ------------------------------------------------------------------
     def _relocalize(self, frame) -> bool:
@@ -281,6 +317,10 @@ class SlamSystem:
             self.atlas.maps.remove(m)
             self.atlas.active = len(self.atlas.maps) - 1
             self.map_dbs.pop(m.map_id, None)
+            # The discarded map's gauge is gone; its trajectory rows must
+            # not replay (reference: frames whose reference KF belongs to a
+            # destroyed map are skipped at save time).
+            m.kf_valid[:] = False
         self._new_active_map()
 
     # ------------------------------------------------------------------
@@ -315,6 +355,15 @@ class SlamSystem:
         frame = self.tracker.process_rgbd(img, depth_map, timestamp)
         self.timings.append(time.perf_counter() - t0)
         return frame
+
+    def activate_localization_mode(self):
+        """Track against the frozen map without mutating it
+        (System::ActivateLocalizationMode, System.h:118)."""
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        """Resume full SLAM (System::DeactivateLocalizationMode)."""
+        self.tracker.only_tracking = False
 
     @property
     def state(self):
@@ -385,12 +434,14 @@ class SlamSystem:
             "kf_desc", "kf_kp_patch", "kf_kp_ur", "kf_kp_lm", "lm_pos", "lm_valid",
             "lm_desc", "lm_patch", "lm_normal", "lm_min_dist", "lm_max_dist",
             "lm_first_kf", "lm_visible", "lm_found",
+            "kf_redirect", "kf_redirect_R", "kf_redirect_t",
         ]
         for i, m in enumerate(self.atlas.maps):
             for f_ in array_fields:
                 payload[f"map{i}/{f_}"] = getattr(m, f_)
             payload[f"map{i}/scalars"] = np.asarray(
-                [m.n_kf, m.n_lm, m.next_lm, m.change_idx, m.map_id])
+                [m.n_kf, m.n_lm, m.next_lm, m.change_idx, m.map_id,
+                 m.next_kf])
         np.savez_compressed(path, **payload)
 
     def load_atlas(self, path):
@@ -413,11 +464,15 @@ class SlamSystem:
                 "kf_desc", "kf_kp_patch", "kf_kp_ur", "kf_kp_lm", "lm_pos", "lm_valid",
                 "lm_desc", "lm_patch", "lm_normal", "lm_min_dist",
                 "lm_max_dist", "lm_first_kf", "lm_visible", "lm_found",
+                "kf_redirect", "kf_redirect_R", "kf_redirect_t",
             ]:
-                setattr(m, f_, data[f"map{i}/{f_}"].copy())
+                key = f"map{i}/{f_}"
+                if key in data:
+                    setattr(m, f_, data[key].copy())
             sc = data[f"map{i}/scalars"]
             m.n_kf, m.n_lm, m.next_lm, m.change_idx, m.map_id = (
                 int(sc[0]), int(sc[1]), int(sc[2]), int(sc[3]), int(sc[4]))
+            m.next_kf = int(sc[5]) if sc.size > 5 else int(m.n_kf)
             self.atlas.maps.append(m)
         self.atlas.active = int(data["active"])
         m = self.atlas.active_map

@@ -41,6 +41,16 @@ class TrackerConfig:
     cx: float = 376.0
     cy: float = 240.0
     dist: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)  # k1 k2 p1 p2 k3
+    # Lens model ("pinhole" | "kb8").  For "kb8" (Kannala-Brandt fisheye,
+    # reference src/CameraModels/KannalaBrandt8.cpp) `dist` holds k1..k4 and
+    # detected keypoints are unprojected through the fisheye model onto a
+    # virtual ideal-pinhole image (focal chosen so fov_max_deg fits the
+    # frame); every downstream stage (matching gates, pose/BA solvers,
+    # two-view init, triangulation) then runs unchanged on ideal
+    # coordinates.  Keypoints beyond fov_max_deg off-axis are dropped — the
+    # tradeoff vs. the reference's in-model projection edges.
+    camera_model: str = "pinhole"
+    fov_max_deg: float = 75.0
     fps: float = 20.0
     n_features: int = 1000
     min_init_matches: int = 100
@@ -62,25 +72,41 @@ class TrackerConfig:
     klt_refine: bool = True
     klt_zncc_min: float = 0.5    # reject matches below this aligned ZNCC
     klt_max_shift: float = 3.0   # level px; hitting the clamp = diverged
+    # Write the aligned position back into the observation.  Off by
+    # default: on self-similar texture the write-back *perfects* a wrong
+    # registration (the aligned uv supports the wrong pose exactly,
+    # removing the residual the pose solve needs to escape) — measured as a
+    # full tracking lock on the inertial oscillation world, for a ~10% ATE
+    # gain on clean mono worlds.  Verification/rejection stays on.
+    klt_move_obs: bool = False
     mm_mature_only: bool = True  # motion model matches >=3-obs landmarks
     seed: int = 0
 
     @functools.cached_property
     def cam_params(self):
+        d = tuple(self.dist) + (0.0,) * (5 - len(self.dist))
         return jnp.asarray(
-            [self.fx, self.fy, self.cx, self.cy, *self.dist], jnp.float32
+            [self.fx, self.fy, self.cx, self.cy, *d], jnp.float32
         )
 
     @functools.cached_property
     def ideal_params(self):
+        if self.camera_model == "kb8":
+            # Virtual pinhole: fov_max_deg half-angle maps to the half-width.
+            f = 0.5 * min(self.width, self.height) / np.tan(
+                np.radians(self.fov_max_deg))
+            return jnp.asarray(
+                [f, f, self.width / 2, self.height / 2, 0, 0, 0, 0, 0],
+                jnp.float32)
         return jnp.asarray(
             [self.fx, self.fy, self.cx, self.cy, 0, 0, 0, 0, 0], jnp.float32
         )
 
     @functools.cached_property
     def K(self):
+        p = np.asarray(self.ideal_params)
         return jnp.asarray(
-            [[self.fx, 0, self.cx], [0, self.fy, self.cy], [0, 0, 1.0]], jnp.float32
+            [[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1.0]], jnp.float32
         )
 
     @functools.cached_property
@@ -102,6 +128,22 @@ class TrackerConfig:
 def _undistort(cam_params, ideal_params, uv):
     rays = pinhole.unproject(cam_params, uv)
     return pinhole.project(ideal_params, rays)
+
+
+@jax.jit
+def _undistort_kb8(cam_params, ideal_params, uv, fov_max_deg):
+    """Fisheye keypoints -> virtual ideal-pinhole coordinates + validity.
+
+    Validity = round-trip consistency (Newton divergence / mirrored rays
+    beyond 90 deg fail to reproject onto the source pixel) and the FOV gate."""
+    from orb_slam3_study_kr_tpu.cameras import kb8
+    rays = kb8.unproject(cam_params, uv)
+    uv_ideal = pinhole.project(ideal_params, rays)
+    uv_back = kb8.project(cam_params, rays)
+    err = jnp.linalg.norm(uv_back - uv, axis=-1)
+    r = jnp.linalg.norm(rays[..., :2], axis=-1)
+    ok = (err < 0.5) & (r < jnp.tan(jnp.radians(fov_max_deg)))
+    return uv_ideal, ok
 
 
 def _pad_rows(a, n, fill=0):
@@ -131,6 +173,7 @@ class MonoTracker:
         self.last_kf_frame_id = -1
         self.ref_kf = -1
         self.trajectory = []  # (timestamp, ref_kf, T_rel_4x4, state)
+        self.only_tracking = False  # localization mode: no map mutation
         self._speed_hist = []  # recent per-frame camera-center steps
         self._key = jax.random.PRNGKey(cfg.seed)
         self.stats = {"n_frames": 0, "n_kf": 0, "track_fail": 0,
@@ -156,8 +199,16 @@ class MonoTracker:
         # np.array (not asarray): uv/uv_raw/patch are mutated in place by
         # the KLT refinement, and device->host views are read-only.
         uv_raw = np.array(feats.uv)
-        uv_und = np.array(
-            _undistort(cfg.cam_params, cfg.ideal_params, feats.uv))
+        valid = np.asarray(feats.valid)
+        if cfg.camera_model == "kb8":
+            uv_und, ray_ok = _undistort_kb8(
+                cfg.cam_params, cfg.ideal_params, feats.uv,
+                jnp.float32(cfg.fov_max_deg))
+            uv_und = np.array(uv_und)
+            valid = valid & np.asarray(ray_ok)
+        else:
+            uv_und = np.array(
+                _undistort(cfg.cam_params, cfg.ideal_params, feats.uv))
         frame = Frame(
             frame_id=self.frame_count,
             timestamp=timestamp,
@@ -166,7 +217,7 @@ class MonoTracker:
             angle=np.asarray(feats.angle),
             response=np.asarray(feats.response),
             desc=np.asarray(feats.desc),
-            valid=np.asarray(feats.valid),
+            valid=valid,
             patch=np.array(feats.patch),
         )
         frame.uv_raw = uv_raw
@@ -390,7 +441,9 @@ class MonoTracker:
         )
         self.velocity = (np.asarray(Rv), np.asarray(tv))
 
-        if self._need_new_keyframe(frame, n_inliers):
+        # Localization-only mode never inserts keyframes (the reference's
+        # mbOnlyTracking, System::ActivateLocalizationMode System.h:118).
+        if not self.only_tracking and self._need_new_keyframe(frame, n_inliers):
             self._create_keyframe(frame)
 
     # ------------------------------------------------------------------
@@ -482,12 +535,18 @@ class MonoTracker:
         zncc = np.asarray(zncc)
         shift = np.asarray(shift)
         good = mask & (zncc >= cfg.klt_zncc_min) & (shift < cfg.klt_max_shift)
-        if good.any():
+        if good.any() and cfg.klt_move_obs:
             uv_ref = np.asarray(uv_ref)
             du = uv_ref[:, 0] - frame.uv_raw[:, 0]
             frame.uv_raw[good] = uv_ref[good]
-            und = np.asarray(_undistort(cfg.cam_params, cfg.ideal_params,
-                                        jnp.asarray(uv_ref)))
+            if cfg.camera_model == "kb8":
+                und, _ = _undistort_kb8(cfg.cam_params, cfg.ideal_params,
+                                        jnp.asarray(uv_ref),
+                                        jnp.float32(cfg.fov_max_deg))
+                und = np.asarray(und)
+            else:
+                und = np.asarray(_undistort(cfg.cam_params, cfg.ideal_params,
+                                            jnp.asarray(uv_ref)))
             frame.uv[good] = und[good]
             # Stereo: carry the right-image coordinate along (the disparity
             # was measured at the pre-refinement left position).
@@ -737,7 +796,13 @@ class MonoTracker:
 
         rows = []
         for ts, ref, Rrel, trel, state, ok, m in self.trajectory:
-            if not ok or not m.kf_valid[ref]:
+            if not ok:
+                continue
+            # Culled reference keyframes redirect to a live ancestor
+            # (the reference climbs the spanning tree over bad keyframes
+            # composing KeyFrame::mTcp, System.cc:595-627).
+            ref, Rrel, trel = m.resolve_kf(int(ref), Rrel, trel)
+            if ref < 0:
                 continue
             R_cw, t_cw = se3.se3_compose(
                 jnp.asarray(Rrel), jnp.asarray(trel),

@@ -48,6 +48,13 @@ class MapState:
     kf_bias: np.ndarray = None       # (max_kf, 6) [bg, ba] IMU bias
     imu_initialized: bool = False    # Map::SetImuInitialized flag
 
+    # --- culled-keyframe redirects (KeyFrame::mTcp + parent; trajectory
+    # replay climbs these like the reference climbs the spanning tree over
+    # bad keyframes, System.cc:595-627) ---
+    kf_redirect: np.ndarray = None   # (max_kf,) int32 parent kf id, -1 = live
+    kf_redirect_R: np.ndarray = None  # (max_kf, 3, 3) T_culled<-parent rot
+    kf_redirect_t: np.ndarray = None  # (max_kf, 3)
+
     # --- landmarks ---
     lm_pos: np.ndarray = None        # (max_lm, 3)
     lm_valid: np.ndarray = None      # (max_lm,) bool
@@ -60,7 +67,8 @@ class MapState:
     lm_visible: np.ndarray = None    # (max_lm,) int32 frustum-visible count
     lm_found: np.ndarray = None      # (max_lm,) int32 matched-by-tracking count
 
-    n_kf: int = 0
+    n_kf: int = 0                    # count of live (valid) keyframes
+    next_kf: int = 0                 # monotonic keyframe slot allocator
     n_lm: int = 0
     next_lm: int = 0                 # monotonic allocator — ids are never
                                      # recycled within a session, so stale
@@ -87,6 +95,9 @@ class MapState:
         self.kf_kp_lm = np.full((k, p), NO_LM, np.int32)
         self.kf_v = np.zeros((k, 3), np.float32)
         self.kf_bias = np.zeros((k, 6), np.float32)
+        self.kf_redirect = np.full(k, -1, np.int32)
+        self.kf_redirect_R = np.tile(np.eye(3, dtype=np.float32), (k, 1, 1))
+        self.kf_redirect_t = np.zeros((k, 3), np.float32)
         self.lm_pos = np.zeros((m, 3), np.float32)
         self.lm_valid = np.zeros(m, bool)
         self.lm_desc = np.zeros((m, 256), np.uint8)
@@ -103,9 +114,10 @@ class MapState:
     def add_keyframe(self, R_cw, t_cw, uv, level, angle, valid, desc,
                      frame_id, timestamp, kp_lm=None, patch=None,
                      ur=None) -> int:
-        if self.n_kf >= self.max_kf:
+        if self.next_kf >= self.max_kf:
             raise RuntimeError("keyframe capacity exhausted")
-        i = self.n_kf
+        i = self.next_kf
+        self.next_kf += 1
         self.n_kf += 1
         self.kf_valid[i] = True
         self.kf_R[i] = R_cw
@@ -130,6 +142,37 @@ class MapState:
     def kf_center(self, i):
         """Camera center in world coords."""
         return -self.kf_R[i].T @ self.kf_t[i]
+
+    def cull_keyframe(self, kf: int, parent: int):
+        """Remove a redundant keyframe (KeyFrame::SetBadFlag role): erase
+        its landmark bindings and leave a redirect to `parent` carrying the
+        relative pose at cull time (KeyFrame::mTcp), so trajectory rows that
+        reference it replay against the parent."""
+        Rc, tc = self.kf_R[kf], self.kf_t[kf]
+        Rp, tp = self.kf_R[parent], self.kf_t[parent]
+        R_cp = (Rc @ Rp.T).astype(np.float32)
+        self.kf_redirect[kf] = parent
+        self.kf_redirect_R[kf] = R_cp
+        self.kf_redirect_t[kf] = (tc - R_cp @ tp).astype(np.float32)
+        self.kf_kp_lm[kf] = NO_LM
+        self.kf_kp_valid[kf] = False
+        self.kf_valid[kf] = False
+        self.n_kf = int(self.kf_valid.sum())
+        self.change_idx += 1
+
+    def resolve_kf(self, ref: int, R_rel, t_rel):
+        """Climb culled-keyframe redirects: returns (live_ref, R_rel',
+        t_rel') with the relative pose composed through the chain, or
+        ref = -1 if the chain dead-ends (map destroyed)."""
+        while ref >= 0 and not self.kf_valid[ref]:
+            parent = int(self.kf_redirect[ref])
+            if parent < 0:
+                return -1, R_rel, t_rel
+            # T_frame<-parent = T_frame<-ref . T_ref<-parent
+            t_rel = (R_rel @ self.kf_redirect_t[ref] + t_rel).astype(np.float32)
+            R_rel = (R_rel @ self.kf_redirect_R[ref]).astype(np.float32)
+            ref = parent
+        return ref, R_rel, t_rel
 
     # ---------------- landmarks ----------------
 

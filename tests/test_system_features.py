@@ -104,3 +104,25 @@ def test_lost_spawns_new_map():
     assert slam.state in (TrackState.NOT_INITIALIZED, TrackState.LOST)
     # Old map retained with its keyframes.
     assert int(slam.atlas.maps[0].kf_valid.sum()) == kfs_before
+
+
+def test_localization_only_mode(built_system):
+    """ActivateLocalizationMode freezes the map: tracking continues but no
+    keyframes/landmarks are created (System.h:118 mbActivateLocalizationMode)."""
+    slam, world, R_gt, t_gt = built_system
+    m = slam.atlas.active_map
+    slam.activate_localization_mode()
+    try:
+        n_kf = int(m.kf_valid.sum())
+        n_lm = int(m.lm_valid.sum())
+        rng = np.random.default_rng(77)
+        n_ok = 0
+        for i in range(8, 18):
+            img = synthetic.render_textured(world, R_gt[i], t_gt[i], rng=rng)
+            f = slam.track_monocular(img, 100.0 + 0.1 * i)
+            n_ok += bool(f.pose_ok)
+        assert n_ok >= 8, "localization mode lost tracking"
+        assert int(m.kf_valid.sum()) == n_kf
+        assert int(m.lm_valid.sum()) == n_lm
+    finally:
+        slam.deactivate_localization_mode()
