@@ -8,5 +8,7 @@ inverted file is a dense (n_kf, n_words) matrix at this scale, so a whole-
 database query is one matmul.
 """
 
-from orb_slam3_study_kr_tpu.bow.vocabulary import BinaryVocabulary, train_vocabulary
+from orb_slam3_study_kr_tpu.bow.vocabulary import (
+    BinaryVocabulary, TreeVocabulary, train_vocabulary, load_dbow2_text,
+    save_vocabulary, load_vocabulary)
 from orb_slam3_study_kr_tpu.bow.database import KeyframeDatabase

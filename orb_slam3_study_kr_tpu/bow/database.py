@@ -11,18 +11,18 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from orb_slam3_study_kr_tpu.bow.vocabulary import BinaryVocabulary, bow_vector
+from orb_slam3_study_kr_tpu.bow.vocabulary import bow_vector_any
 
 
 @dataclass
 class KeyframeDatabase:
-    voc: BinaryVocabulary
+    voc: object  # BinaryVocabulary | TreeVocabulary
     vectors: dict = field(default_factory=dict)  # kf_id -> np (n_words,)
 
     def add(self, kf_id, desc, valid):
         import jax.numpy as jnp
         self.vectors[kf_id] = np.asarray(
-            bow_vector(self.voc, jnp.asarray(desc), jnp.asarray(valid)))
+            bow_vector_any(self.voc, jnp.asarray(desc), jnp.asarray(valid)))
 
     def erase(self, kf_id):
         self.vectors.pop(kf_id, None)
@@ -47,7 +47,7 @@ class KeyframeDatabase:
         used for group score accumulation.  Returns up to n_best kf ids,
         best first."""
         import jax.numpy as jnp
-        v = np.asarray(bow_vector(self.voc, jnp.asarray(desc), jnp.asarray(valid)))
+        v = np.asarray(bow_vector_any(self.voc, jnp.asarray(desc), jnp.asarray(valid)))
         ids, scores, common = self._scores(v, set(exclude))
         if ids.size == 0:
             return []

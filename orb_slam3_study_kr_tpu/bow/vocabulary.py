@@ -128,3 +128,146 @@ def bow_vector(voc: BinaryVocabulary, desc, valid):
 def l1_score(v1, v2):
     """DBoW2 L1 scoring: 1 - 0.5 |v1 - v2|_1 for L1-normalized vectors."""
     return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# General (possibly unbalanced) vocabulary trees — the shape of DBoW2's
+# TemplatedVocabulary when loaded from ORBvoc.txt
+# (reference: Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h loadFromTextFile).
+# Unlike BinaryVocabulary's complete k-ary layout, nodes here carry explicit
+# child tables, so clusters that produced < k children still descend
+# correctly.  Leaves self-loop, so the batched descent is a fixed L-step
+# gather/argmin regardless of where each branch bottoms out.
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class TreeVocabulary:
+    centers: jnp.ndarray      # (n_nodes, 256) uint8 {0,1}; root row unused
+    children: jnp.ndarray     # (n_nodes, k) int32; missing -> self-loop
+    child_valid: jnp.ndarray  # (n_nodes, k) bool
+    node_word: jnp.ndarray    # (n_nodes,) int32; -1 for internal nodes
+    node_weight: jnp.ndarray  # (n_nodes,) float32; leaf idf weight
+    k: int = field(metadata=dict(static=True), default=10)
+    L: int = field(metadata=dict(static=True), default=6)
+    n_words_static: int = field(metadata=dict(static=True), default=0)
+
+    @property
+    def n_words(self):
+        return self.n_words_static
+
+
+@jax.jit
+def transform_tree(voc: TreeVocabulary, desc, valid):
+    """Batched descent of a general tree: (N, 256) -> (word (N,), weight (N,))."""
+    n = desc.shape[0]
+    node = jnp.zeros(n, jnp.int32)  # root
+    d16 = desc.astype(jnp.int16)
+    big = jnp.int16(512)
+    for _ in range(voc.L):
+        cand = voc.children[node]                       # (N, k)
+        cc = voc.centers[cand].astype(jnp.int16)        # (N, k, 256)
+        ham = jnp.sum(cc != d16[:, None, :], axis=-1).astype(jnp.int16)
+        ham = jnp.where(voc.child_valid[node], ham, big)
+        j = jnp.argmin(ham, axis=1).astype(jnp.int32)
+        node = cand[jnp.arange(n), j]
+    word = jnp.maximum(voc.node_word[node], 0)
+    w = voc.node_weight[node] * valid
+    return word, w
+
+
+def words_and_weights(voc, desc, valid):
+    """Dispatch transform over either vocabulary class."""
+    if isinstance(voc, TreeVocabulary):
+        return transform_tree(voc, desc, valid)
+    return transform(voc, desc, valid)
+
+
+def bow_vector_any(voc, desc, valid):
+    """Dense L1-normalized tf-idf vector for either vocabulary class."""
+    words, w = words_and_weights(voc, desc, valid)
+    v = jnp.zeros(voc.n_words, jnp.float32).at[words].add(w)
+    s = jnp.sum(jnp.abs(v))
+    return v / jnp.maximum(s, 1e-9)
+
+
+def load_dbow2_text(path) -> TreeVocabulary:
+    """Load a DBoW2 text vocabulary (the ORBvoc.txt format).
+
+    Format (TemplatedVocabulary<FORB>::loadFromTextFile): header line
+    ``k L scoring weighting``; then one line per non-root node in id order
+    (ids start at 1, root is 0): ``parent_id is_leaf b0 .. b31 weight`` where
+    b* are the 32 descriptor bytes.  Word ids are assigned to leaves in file
+    order, as in the reference loader."""
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        body = np.loadtxt(f, dtype=np.float64, ndmin=2)
+    n_nodes = body.shape[0] + 1
+    parent = body[:, 0].astype(np.int64)
+    is_leaf = body[:, 1] != 0
+    desc_bytes = body[:, 2:34].astype(np.uint8)
+    weight = body[:, 34].astype(np.float32)
+
+    centers = np.zeros((n_nodes, 256), np.uint8)
+    centers[1:] = np.unpackbits(desc_bytes, axis=1)
+    children = np.tile(np.arange(n_nodes, dtype=np.int32)[:, None], (1, k))
+    child_valid = np.zeros((n_nodes, k), bool)
+    child_count = np.zeros(n_nodes, np.int32)
+    node_ids = np.arange(1, n_nodes, dtype=np.int32)
+    for nid, p in zip(node_ids, parent):
+        c = child_count[p]
+        children[p, c] = nid
+        child_valid[p, c] = True
+        child_count[p] = c + 1
+
+    node_word = np.full(n_nodes, -1, np.int32)
+    leaf_ids = node_ids[is_leaf]
+    node_word[leaf_ids] = np.arange(leaf_ids.size, dtype=np.int32)
+    node_weight = np.zeros(n_nodes, np.float32)
+    node_weight[1:] = np.where(is_leaf, weight, 0.0)
+
+    return TreeVocabulary(
+        centers=jnp.asarray(centers),
+        children=jnp.asarray(children),
+        child_valid=jnp.asarray(child_valid),
+        node_word=jnp.asarray(node_word),
+        node_weight=jnp.asarray(node_weight),
+        k=k, L=L, n_words_static=int(leaf_ids.size),
+    )
+
+
+def save_vocabulary(voc, path):
+    """Serialize either vocabulary class to one .npz (System save parity)."""
+    if isinstance(voc, TreeVocabulary):
+        np.savez_compressed(
+            path, kind="tree", centers=np.asarray(voc.centers),
+            children=np.asarray(voc.children),
+            child_valid=np.asarray(voc.child_valid),
+            node_word=np.asarray(voc.node_word),
+            node_weight=np.asarray(voc.node_weight),
+            k=voc.k, L=voc.L, n_words=voc.n_words_static)
+    else:
+        np.savez_compressed(
+            path, kind="complete", centers=np.asarray(voc.centers),
+            word_weights=np.asarray(voc.word_weights),
+            level_offsets=np.asarray(voc.level_offsets),
+            k=voc.k, L=voc.L)
+
+
+def load_vocabulary(path):
+    z = np.load(path, allow_pickle=False)
+    if str(z["kind"]) == "tree":
+        return TreeVocabulary(
+            centers=jnp.asarray(z["centers"]),
+            children=jnp.asarray(z["children"]),
+            child_valid=jnp.asarray(z["child_valid"]),
+            node_word=jnp.asarray(z["node_word"]),
+            node_weight=jnp.asarray(z["node_weight"]),
+            k=int(z["k"]), L=int(z["L"]), n_words_static=int(z["n_words"]))
+    return BinaryVocabulary(
+        centers=jnp.asarray(z["centers"]),
+        word_weights=jnp.asarray(z["word_weights"]),
+        level_offsets=tuple(int(o) for o in z["level_offsets"]),
+        k=int(z["k"]), L=int(z["L"]))
