@@ -110,8 +110,12 @@ class MapMerger:
         capacity (merge is then skipped rather than truncated)."""
         kfsA = np.nonzero(mA.kf_valid)[0]
         lmsA = np.nonzero(mA.lm_valid)[0]
-        if (mB.next_kf + kfsA.size > mB.max_kf
-                or mB.next_lm + lmsA.size > mB.max_lm):
+        # Capacity: both physical slots (monotonic allocators next_kf /
+        # next_lm) and the live-count semantics (n_kf / n_lm) must have
+        # room — a map whose live count already fills max_kf is "full"
+        # even if allocator slots were never touched.
+        if (max(mB.next_kf, mB.n_kf) + kfsA.size > mB.max_kf
+                or max(mB.next_lm, mB.n_lm) + lmsA.size > mB.max_lm):
             return None
 
         # World transform  X_B = sigma R_BA X_A + t_BA  from
