@@ -25,6 +25,8 @@ from orb_slam3_study_kr_tpu.pipeline.tracking import MonoTracker, TrackState
 from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM
 from orb_slam3_study_kr_tpu.solvers.inertial import (
     inertial_only_optimization, pose_inertial_optimization)
+from orb_slam3_study_kr_tpu.solvers.inertial_ba import inertial_bundle_adjust
+from orb_slam3_study_kr_tpu.solvers.robust import CHI2_MONO, CHI2_STEREO
 
 # Padded sample-window buckets (bounds recompilation across frame gaps).
 FRAME_BUCKETS = (64, 256, 1024)
@@ -345,9 +347,22 @@ class ImuMixin:
                 a, b = max(j - 1, 0), min(j + 1, kfs.size - 1)
                 dt = max(float(tss[b] - tss[a]), 1e-3)
                 m.kf_v[kfs[j]] = (centers[b] - centers[a]) / dt
-        m.kf_bias[np.asarray(chain)] = bias_new
+        # Every keyframe adopts the recovered bias (the init chain is
+        # subsampled; stale zero biases on skipped keyframes would anchor
+        # later random-walk chains to zero).
+        m.kf_bias[m.kf_valid] = bias_new
         self.bias = bias_new
         m.imu_initialized = True
+
+        # VIBA: whole-chain visual-inertial BA right after the alignment
+        # (LocalMapping::InitializeIMU -> FullInertialBA, LocalMapping.cc:
+        # 1343; bInit/shared-bias on the first metric alignment).
+        first_init = "imu_init_scale" not in self.stats
+        self.full_inertial_ba(
+            shared_bias=first_init,
+            prior_gyro=priors[0] if first_init else 0.0,
+            prior_acc=priors[1] if first_init else 0.0,
+            n_iters=15)
 
         # Transform in-flight tracker state the same way.  The current
         # frame IS the newest chain keyframe: take its pose/velocity from
@@ -369,6 +384,216 @@ class ImuMixin:
         if "imu_init_scale" not in self.stats:
             self.stats["imu_init_scale"] = s   # first metric alignment
         self.stats["imu_refine_scale"] = s     # latest accepted stage
+        return True
+
+
+    # ------------------------------------------------------ inertial BA
+    def local_inertial_ba(self, kf: int) -> bool:
+        """Optimizer::LocalInertialBA (Optimizer.cc:2387): temporal window
+        of the last Nd keyframes (poses + velocities + biases) with the
+        keyframe before the window as fixed inertial anchor, plus fixed
+        visual observers; landmarks from the window are in the Schur
+        system.  Returns False when the problem is too small (caller falls
+        back to visual local BA)."""
+        m = self.map
+        chain = self._kf_chain()
+        if len(chain) < 4 or kf != chain[-1]:
+            return False
+        nd = min(len(chain) - 2, 10)
+        window = chain[-nd:]
+        anchor = [chain[-nd - 1]] if len(chain) > nd else []
+        if not anchor:
+            # No previous keyframe: fix the oldest window KF instead
+            # (reference pops it from the optimizable set).
+            anchor, window = [window[0]], window[1:]
+        return self._vi_ba(opt_kfs=window, anchor_kfs=anchor,
+                           n_iters=8, shared_bias=False,
+                           prior_gyro=0.0, prior_acc=0.0,
+                           max_fixed_observers=24, cull=True)
+
+    def full_inertial_ba(self, shared_bias, prior_gyro=0.0, prior_acc=0.0,
+                         n_iters=15) -> bool:
+        """Optimizer::FullInertialBA (Optimizer.cc:393) over the whole
+        temporal chain; in shared_bias (bInit) mode a single bias serves
+        every inertial edge and the priorG/priorA prior applies to it."""
+        chain = self._kf_chain()
+        if len(chain) < 4:
+            return False
+        return self._vi_ba(opt_kfs=chain[1:], anchor_kfs=[chain[0]],
+                           n_iters=n_iters, shared_bias=shared_bias,
+                           prior_gyro=prior_gyro, prior_acc=prior_acc,
+                           max_fixed_observers=0, cull=False,
+                           anchor_vb_free=True)
+
+    def _vi_ba(self, opt_kfs, anchor_kfs, n_iters, shared_bias,
+               prior_gyro, prior_acc, max_fixed_observers, cull,
+               anchor_vb_free=False):
+        m, cfg = self.map, self.cfg
+        chain_kfs = list(anchor_kfs) + list(opt_kfs)  # temporal order
+
+        # Landmarks observed from the optimizable window.
+        lms = np.unique(m.kf_kp_lm[np.asarray(opt_kfs)])
+        lms = lms[(lms != NO_LM) & m.lm_valid[np.maximum(lms, 0)]]
+        if lms.size < 20:
+            return False
+
+        # Fixed visual observers (maxFixKF semantics, Optimizer.cc:2485).
+        seen = np.zeros(m.max_lm, bool)
+        seen[lms] = True
+        observing = (seen[m.kf_kp_lm] & (m.kf_kp_lm != NO_LM)).any(axis=1)
+        observing &= m.kf_valid
+        fixed_ids = np.nonzero(observing)[0]
+        fixed_ids = fixed_ids[~np.isin(fixed_ids, chain_kfs)]
+        fixed_ids = fixed_ids[:max_fixed_observers]
+
+        all_kf = np.asarray(chain_kfs + list(fixed_ids), np.int32)
+        n_opt = len(opt_kfs)
+        n_chain = len(chain_kfs)
+        fixed = np.ones(all_kf.size, np.float32)
+        fixed[len(anchor_kfs):n_chain] = 0.0
+        # Gauge anchor of a whole-chain solve: pose frozen, velocity/bias
+        # free (freezing a stale anchor bias would lock the entire chain
+        # to it through the stiff gyro random-walk edges).
+        fixed_vb = fixed.copy()
+        if anchor_vb_free:
+            fixed_vb[: len(anchor_kfs)] = 0.0
+
+        # Body states from camera poses.
+        R_bc = np.asarray(self.calib.R_bc)
+        t_bc = np.asarray(self.calib.t_bc)
+        R_wb = np.zeros((all_kf.size, 3, 3), np.float32)
+        p_wb = np.zeros((all_kf.size, 3), np.float32)
+        for i, k in enumerate(all_kf):
+            R_wb[i], p_wb[i] = _body_from_cam(m.kf_R[k], m.kf_t[k],
+                                              R_bc, t_bc)
+        v_w = m.kf_v[all_kf].astype(np.float32)
+        bias = m.kf_bias[all_kf].astype(np.float32)
+
+        # Inertial chain edges with per-edge linearization bias.
+        ts = m.kf_timestamp
+        edge_i, edge_j, pres = [], [], []
+        for a in range(n_chain - 1):
+            ka, kb = chain_kfs[a], chain_kfs[a + 1]
+            rows = self._rows_between(float(ts[ka]), float(ts[kb]))
+            if rows.shape[0] == 0:
+                return False
+            pres.append(_preintegrate_rows(rows, bias[a], self.calib,
+                                           KF_BUCKETS))
+            edge_i.append(a)
+            edge_j.append(a + 1)
+        E_live = len(pres)
+
+        # Visual observations restricted to the selected landmarks.
+        okf, okp, olm = m.observations(all_kf)
+        keep = seen[olm]
+        okf, okp, olm = okf[keep], okp[keep], olm[keep]
+
+        kf_index = np.full(m.max_kf, -1, np.int64)
+        kf_index[all_kf] = np.arange(all_kf.size)
+        lm_index = np.full(m.max_lm, -1, np.int64)
+        lm_index[lms] = np.arange(lms.size)
+
+        def _bucket(n, step):
+            return max(step, -(-n // step) * step)
+
+        def padr(a, n, fill=0):
+            if a.shape[0] >= n:
+                return a[:n]
+            return np.concatenate(
+                [a, np.full((n - a.shape[0], *a.shape[1:]), fill, a.dtype)])
+
+        K = _bucket(all_kf.size, 16)
+        M = _bucket(lms.size, 2048)
+        O = _bucket(okf.size, 8192)
+        E = _bucket(E_live, 16)
+
+        R_p = padr(R_wb, K)
+        R_p[all_kf.size:] = np.eye(3)
+        p_p = padr(p_wb, K)
+        v_p = padr(v_w, K)
+        b_p = padr(bias, K)
+        fixed_p = padr(fixed, K, 1.0)
+        fixed_vb_p = padr(fixed_vb, K, 1.0)
+        X = padr(m.lm_pos[lms], M)
+        lm_mask = padr(np.ones(lms.size, np.float32), M)
+        op = padr(kf_index[okf].astype(np.int32), O)
+        ol = padr(lm_index[olm].astype(np.int32), O)
+        ouv = padr(m.kf_kp_uv[okf, okp], O)
+        olev = padr(m.kf_kp_level[okf, okp], O)
+        omask = padr(np.ones(okf.size, np.float32), O)
+        ei = padr(np.asarray(edge_i, np.int32), E)
+        ej = padr(np.asarray(edge_j, np.int32), E)
+        emask = padr(np.ones(E_live, np.float32), E)
+        # Padded edges: identity preintegration (masked out of the cost).
+        pad_pre = _preintegrate_rows(np.zeros((0, 7), np.float32),
+                                     np.zeros(6, np.float32), self.calib,
+                                     KF_BUCKETS)
+        pres = pres + [pad_pre] * (E - E_live)
+        pre_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
+
+        stereo_kw = {}
+        if cfg.bf > 0:
+            stereo_kw = dict(
+                obs_ur=jnp.asarray(padr(m.kf_kp_ur[okf, okp], O, -1.0)),
+                bf=jnp.float32(cfg.bf))
+
+        out = inertial_bundle_adjust(
+            cfg.project_fn, cfg.project_jac_fn,
+            jnp.asarray(R_p), jnp.asarray(p_p), jnp.asarray(v_p),
+            jnp.asarray(b_p), jnp.asarray(fixed_p),
+            jnp.asarray(self._R_cb), jnp.asarray(self._t_cb),
+            jnp.asarray(X), jnp.asarray(lm_mask),
+            jnp.asarray(op), jnp.asarray(ol), jnp.asarray(ouv),
+            jnp.asarray(olev), jnp.asarray(omask),
+            jnp.asarray(ei), jnp.asarray(ej), pre_stack,
+            jnp.asarray(emask),
+            n_iters=n_iters, shared_bias=shared_bias,
+            bias_src=n_chain - 1,
+            prior_gyro=prior_gyro, prior_acc=prior_acc,
+            fixed_vb=jnp.asarray(fixed_vb_p),
+            **stereo_kw,
+        )
+        R_f, p_f, v_f, b_f, X_f, chi2, cost = out
+        R_f = np.asarray(R_f)
+        p_f = np.asarray(p_f)
+        if not (np.isfinite(float(cost)) and np.isfinite(R_f).all()
+                and np.isfinite(p_f).all()):
+            return False
+
+        v_f = np.array(v_f)
+        b_f = np.array(b_f)
+        if shared_bias:
+            b_f[:n_chain] = b_f[n_chain - 1]
+        upd = np.asarray(chain_kfs[len(anchor_kfs):], np.int64)
+        sel = kf_index[upd]
+        for i, k in zip(sel, upd):
+            R_cw, t_cw = _cam_from_body(R_f[i], p_f[i], R_bc, t_bc)
+            m.kf_R[k] = R_cw.astype(np.float32)
+            m.kf_t[k] = t_cw.astype(np.float32)
+        m.kf_v[upd] = v_f[sel]
+        m.kf_bias[upd] = b_f[sel]
+        if anchor_vb_free:
+            anc = np.asarray(anchor_kfs, np.int64)
+            m.kf_v[anc] = v_f[kf_index[anc]]
+            m.kf_bias[anc] = b_f[kf_index[anc]]
+        m.lm_pos[lms] = np.asarray(X_f)[: lms.size]
+        self.bias = m.kf_bias[chain_kfs[-1]].copy()
+
+        if cull:
+            chi2 = np.asarray(chi2)[: okf.size]
+            if cfg.bf > 0:
+                gate = np.where(m.kf_kp_ur[okf, okp] >= 0, CHI2_STEREO,
+                                CHI2_MONO)
+            else:
+                gate = CHI2_MONO
+            bad = chi2 > gate
+            m.kf_kp_lm[okf[bad], okp[bad]] = NO_LM
+            orphan = np.nonzero(m.lm_valid
+                                & (m.landmark_obs_count() < 2))[0]
+            if orphan.size:
+                m.remove_landmarks(orphan)
+        m.change_idx += 1
+        self.stats["n_inertial_ba"] = self.stats.get("n_inertial_ba", 0) + 1
         return True
 
 

@@ -37,6 +37,11 @@ class LocalMapper:
     enable_kf_culling: bool = True
     kf_redundancy_th: float = 0.9
     on_kf_culled: "callable" = None  # callback(kf_id) for index maintenance
+    # Inertial sessions: LocalInertialBA entry point (ImuMixin.
+    # local_inertial_ba).  When set and the map's IMU is initialized, the
+    # temporal-window visual-inertial solve replaces the visual local BA
+    # (reference LocalMapping.cc:154-160 dispatch).
+    inertial_ba: "callable" = None
     recent: list = field(default_factory=list)  # (lm_id, created_kf)
     queue: list = field(default_factory=list)
     stats: dict = field(default_factory=lambda: {"n_created": 0, "n_culled": 0,
@@ -60,7 +65,11 @@ class LocalMapper:
         self._create_new_landmarks(kf)
         self._fuse_neighbors(kf)
         if m.n_kf >= 3:
-            self._local_ba(kf)
+            if self.inertial_ba is not None and m.imu_initialized:
+                if not self.inertial_ba(kf):
+                    self._local_ba(kf)
+            else:
+                self._local_ba(kf)
         if self.enable_kf_culling and m.n_kf >= 5:
             self._cull_keyframes(kf)
 

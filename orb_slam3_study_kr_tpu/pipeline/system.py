@@ -80,6 +80,10 @@ class SlamSystem:
             on_kf_culled=self._on_kf_culled,
         )
         self.tracker = self._build_tracker(m)
+        if self.cfg.sensor.endswith("-inertial"):
+            # LocalInertialBA replaces visual local BA once the map is
+            # IMU-initialized (LocalMapping.cc:154-160 dispatch).
+            self.local_mapper.inertial_ba = self.tracker.local_inertial_ba
         if old_tracker is not None:
             # The session's relative-pose log spans map spawns (reference
             # mlRelativeFramePoses lives in Tracking, which is never
