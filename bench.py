@@ -83,15 +83,78 @@ def main():
     ba_dt = time.perf_counter() - t0
     ba_iters_per_s = n_ba_iters / ba_dt
 
+    # --- PCG (matrix-free) assembly on the same problem ---
+    out = bundle_adjust(*ba_args, n_iters=n_ba_iters, assembly="pcg")
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = bundle_adjust(*ba_args, n_iters=n_ba_iters, assembly="pcg")
+    jax.block_until_ready(out)
+    ba_pcg_iters_per_s = n_ba_iters / (time.perf_counter() - t0)
+
+    # --- full-system frames/s (host orchestration + mapping + loops) ---
+    sys_fps = _system_fps()
+
+    # --- BA scaling table (virtual CPU mesh; real multi-chip when available)
+    scaling = _ba_scaling((1, 2, 4, 8))
+
     print(json.dumps({
         "metric": "tracking_frames_per_s",
         "value": round(fps, 2),
         "unit": "frames/s (752x480, 1000 feat, 2048-landmark local map)",
         "vs_baseline": round(fps / 20.0, 3),
+        "system_frames_per_s": round(sys_fps, 2),
         "ba_iters_per_s": round(ba_iters_per_s, 2),
+        "ba_pcg_iters_per_s": round(ba_pcg_iters_per_s, 2),
         "ba_problem": f"K={K} M={M} O={O}",
+        "ba_scaling_cpu_mesh": scaling,
         "device": str(jax.devices()[0]),
     }))
+
+
+def _system_fps(n_frames: int = 36):
+    """Full SlamSystem throughput on a synthetic mono sequence; median of
+    the warm second half (the first frames pay jit compilation)."""
+    import numpy as np
+    from orb_slam3_study_kr_tpu.io import synthetic
+    from orb_slam3_study_kr_tpu.pipeline import SlamSystem, SystemConfig
+
+    rng = np.random.default_rng(5)
+    world = synthetic.make_textured_world(rng)
+    R, t = synthetic.lateral_trajectory(n_frames, x_span=1.0)
+    slam = SlamSystem(SystemConfig(sensor="mono"))
+    for i in range(n_frames):
+        img = synthetic.render_textured(world, R[i], t[i], rng=rng)
+        slam.track_monocular(img, i * 0.05)
+    warm = sorted(slam.timings[n_frames // 2:])
+    med = warm[len(warm) // 2]
+    return 1.0 / max(med, 1e-9)
+
+
+def _ba_scaling(device_counts):
+    """Run the distributed-BA micro-bench per device count in clean CPU
+    subprocesses (the real chip is single; the virtual mesh validates the
+    sharded path and measures its overhead)."""
+    import os
+    import subprocess
+    import sys
+
+    out = {}
+    for n in device_counts:
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        try:
+            res = subprocess.run(
+                [sys.executable, "-m",
+                 "orb_slam3_study_kr_tpu.parallel.bench_scaling", str(n)],
+                capture_output=True, text=True, timeout=600, env=env)
+            out[str(n)] = json.loads(
+                res.stdout.strip().splitlines()[-1])["ba_iters_per_s"]
+        except Exception:
+            out[str(n)] = None
+    return out
 
 
 if __name__ == "__main__":

@@ -8,15 +8,21 @@ distributed-Schur structure (BASELINE.json north star):
   `data` mesh axis — each landmark's full observation set lives on exactly
   one device, so the 3x3 elimination blocks are device-local;
 - camera poses are replicated;
-- each device builds its partial reduced camera system
-  S_d = Hpp_d - W_d Hll_d^-1 W_d^T and partial rhs from its observations;
-- one psum over ICI yields the global (6K, 6K) reduced system, solved
-  replicated (K is a window; the dense solve is tiny next to the matmuls);
+- each device builds its partial reduced camera system from its
+  observations and the partials are combined with psum over ICI;
 - landmark updates back-substitute locally with zero communication.
 
-Communication per GN iteration is exactly one psum of (6K x 6K + 6K)
-floats — independent of landmark and observation count, which is what makes
-the scheme scale.
+Two assemblies (matching solvers/local_ba.bundle_adjust):
+- "dense": each device materializes its (K, M_blk, 6, 3) cross block and
+  psums the (6K, 6K) reduced system once per iteration — communication
+  independent of landmark/observation count; best for windowed BA.
+- "pcg": matrix-free preconditioned CG on the reduced system; each CG
+  matvec psums one (K, 6) vector (plus a (M->K) segment sweep) — best for
+  full-map GBA where 6K is large.
+
+Supports the reference's third stereo residual row via obs_ur/bf
+(EdgeStereoSE3ProjectXYZ) and returns per-observation chi2 for the
+caller's outlier culling, exactly like the single-device solver.
 """
 
 import functools
@@ -28,6 +34,7 @@ from jax.experimental.shard_map import shard_map
 
 from orb_slam3_study_kr_tpu.lie.se3 import exp_se3, se3_compose
 from orb_slam3_study_kr_tpu.solvers import robust
+from orb_slam3_study_kr_tpu.solvers.local_ba import _schur_pcg
 from orb_slam3_study_kr_tpu.solvers.reproj import residual_and_jacobians
 
 
@@ -45,113 +52,148 @@ def distributed_bundle_adjust(
     obs_pose, obs_lm, obs_uv, obs_level, obs_mask,  # (Osh,) — sharded with
                                 # obs_lm indexing into the LOCAL landmark block
     n_iters: int = 10,
-    damping: float = 1e-4,
+    init_lambda: float = 1e-4,
+    obs_ur=None, bf=None,       # sharded (Osh,) right-u; bf = fx * baseline
+    assembly: str = "dense",    # "dense" | "pcg"
+    n_cg: int = 60,
 ):
-    """Run GN/LM-damped iterations of Schur-complement BA over the mesh.
+    """LM-damped Schur-complement BA over the mesh.
 
     Shapes: X/lm_mask sharded on axis 0 into equal per-device blocks; the
     obs_* arrays sharded on axis 0 such that each observation lives with its
     landmark's device, and obs_lm holds *local* (per-shard) landmark indices.
-    Poses are replicated.  Returns (R_cw, t_cw, X) with the same shardings.
-    """
+    Poses are replicated.  Returns (R_cw, t_cw, X, chi2) with the same
+    shardings (chi2 sharded like the observations)."""
     K = R_cw.shape[0]
     axis = mesh.axis_names[0]
+    has_ur = obs_ur is not None
 
     rep = P()
     shd = P(axis)
+    in_specs = [rep, rep, rep, shd, shd, shd, shd, shd, shd, shd]
+    args = [R_cw, t_cw, fixed, X, lm_mask, obs_pose, obs_lm, obs_uv,
+            obs_level, obs_mask]
+    if has_ur:
+        in_specs.append(shd)
+        args.append(obs_ur)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(rep, rep, rep, shd, shd, shd, shd, shd, shd, shd),
-        out_specs=(rep, rep, shd),
+        in_specs=tuple(in_specs),
+        out_specs=(rep, rep, shd, shd),
         check_rep=False,
     )
-    def solve(R_all, t_all, fixed, X_blk, lmm_blk, op, ol, ouv, olev, om):
+    def solve(R_all, t_all, fixed, X_blk, lmm_blk, op, ol, ouv, olev, om,
+              our=None):
         inv_sigma2 = robust.octave_inv_sigma2(olev)
         M_blk = X_blk.shape[0]
+        dt = R_all.dtype
+        psum = lambda x: jax.lax.psum(x, axis)
+        if has_ur:
+            chi2_gate = jnp.where(our >= 0, robust.CHI2_STEREO,
+                                  robust.CHI2_MONO)
+        else:
+            chi2_gate = robust.CHI2_MONO
+        huber_delta = jnp.sqrt(jnp.asarray(chi2_gate, dt))
+
+        def _huber_rho(chi2):
+            d2 = chi2_gate
+            d = huber_delta
+            rr = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+            return jnp.where(chi2 <= d2, chi2, 2 * d * rr - d2)
+
+        def compute(R_all, t_all, X_blk):
+            r, J_pose, J_point, p = residual_and_jacobians(
+                project_jac_fn, project_fn, R_all[op], t_all[op], X_blk[ol],
+                ouv, ur_obs=our if has_ur else None, bf=bf)
+            chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+            valid = om * lmm_blk[ol] * (p[:, 2] > 1e-3)
+            w = inv_sigma2 * valid * robust.huber_weight(chi2, huber_delta)
+            cost_loc = jnp.sum(_huber_rho(chi2) * valid)
+            return r, J_pose, J_point, w, chi2, cost_loc
 
         def gn_iter(carry, _):
-            R_all, t_all, X_blk = carry
-            Ro = R_all[op]
-            to = t_all[op]
-            Xo = X_blk[ol]
-            r, J_pose, J_point, p = residual_and_jacobians(
-                project_jac_fn, project_fn, Ro, to, Xo, ouv
-            )
-            chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-            w = inv_sigma2 * om * lmm_blk[ol] * (p[:, 2] > 1e-3)
-            w = w * robust.huber_weight(chi2, robust.HUBER_MONO)
+            R_all, t_all, X_blk, lam, cost_prev = carry
+            r, J_pose, J_point, w, chi2, _ = compute(R_all, t_all, X_blk)
             free = (1.0 - fixed)[op]
             Jp = J_pose * free[:, None, None]
 
-            Hpp = jnp.zeros((K, 6, 6), R_all.dtype).at[op].add(
-                jnp.einsum("nia,n,nib->nab", Jp, w, Jp)
-            )
-            bp = jnp.zeros((K, 6), R_all.dtype).at[op].add(
-                jnp.einsum("nia,n,ni->na", Jp, w, r)
-            )
-            Hll = jnp.zeros((M_blk, 3, 3), R_all.dtype).at[ol].add(
-                jnp.einsum("nia,n,nib->nab", J_point, w, J_point)
-            )
-            bl = jnp.zeros((M_blk, 3), R_all.dtype).at[ol].add(
-                jnp.einsum("nia,n,ni->na", J_point, w, r)
-            )
+            Hpp = psum(jnp.zeros((K, 6, 6), dt).at[op].add(
+                jnp.einsum("nia,n,nib->nab", Jp, w, Jp)))
+            bp = psum(jnp.zeros((K, 6), dt).at[op].add(
+                jnp.einsum("nia,n,ni->na", Jp, w, r)))
+            Hll = jnp.zeros((M_blk, 3, 3), dt).at[ol].add(
+                jnp.einsum("nia,n,nib->nab", J_point, w, J_point))
+            bl = jnp.zeros((M_blk, 3), dt).at[ol].add(
+                jnp.einsum("nia,n,ni->na", J_point, w, r))
             E = jnp.einsum("nia,n,nib->nab", Jp, w, J_point)  # (O, 6, 3)
 
-            eye3 = jnp.eye(3, dtype=R_all.dtype)
-            Hll_d = Hll + damping * (eye3[None] + Hll * eye3[None])
+            eye3 = jnp.eye(3, dtype=dt)
+            eye6 = jnp.eye(6, dtype=dt)
+            Hll_d = Hll + lam * (eye3[None] + Hll * eye3[None])
             Hll_inv = jnp.linalg.inv(Hll_d) * lmm_blk[:, None, None]
+            Hpp_d = Hpp + lam * (eye6[None] + Hpp * eye6[None])
 
-            W = jnp.zeros((K, M_blk, 6, 3), R_all.dtype).at[op, ol].add(E)
-            Wi = jnp.einsum("kmab,mbc->kmac", W, Hll_inv)
-            S_part = -jnp.einsum("kmac,lmbc->kalb", Wi, W).reshape(6 * K, 6 * K)
-            rhs_part = -(bp - jnp.einsum("kmab,mb->ka", Wi, bl)).reshape(6 * K)
+            if assembly == "dense":
+                W = jnp.zeros((K, M_blk, 6, 3), dt).at[op, ol].add(E)
+                Wi = jnp.einsum("kmab,mbc->kmac", W, Hll_inv)
+                S_part = -jnp.einsum("kmac,lmbc->kalb", Wi, W).reshape(
+                    6 * K, 6 * K)
+                rhs_part = -(bp / jax.lax.psum(1.0, axis)
+                             - jnp.einsum("kmab,mb->ka", Wi, bl)).reshape(
+                    6 * K)
+                S = psum(S_part) + _blockdiag6(Hpp_d, K)
+                rhs = psum(rhs_part)
+                fixd = jnp.repeat(fixed, 6)
+                S = S * (1 - fixd)[:, None] * (1 - fixd)[None, :] \
+                    + jnp.diag(fixd)
+                dp = jnp.linalg.solve(S, rhs).reshape(K, 6)
+            else:
+                dp = _schur_pcg(Hpp_d, bp, Hll_inv, bl, E, op, ol,
+                                fixed, n_cg, psum_fn=psum)
 
-            # The only cross-device communication of the iteration.
-            Hpp = jax.lax.psum(Hpp, axis)
-            S = jax.lax.psum(S_part, axis)
-            rhs = jax.lax.psum(rhs_part, axis)
+            Wtdp = jnp.zeros((M_blk, 3), dt).at[ol].add(
+                jnp.einsum("nab,na->nb", E, dp[op]))
+            dl = -jnp.einsum("mab,mb->ma", Hll_inv, bl + Wtdp)
 
-            eye6 = jnp.eye(6, dtype=R_all.dtype)
-            Hpp_d = Hpp + damping * (eye6[None] + Hpp * eye6[None])
-            Sd = S + _blockdiag6(Hpp_d, K)
-            fixd = jnp.repeat(fixed, 6)
-            Sd = Sd * (1 - fixd)[:, None] * (1 - fixd)[None, :] + jnp.diag(fixd)
-            dp = jnp.linalg.solve(Sd, rhs).reshape(K, 6)
-
-            dl = -jnp.einsum(
-                "mab,mb->ma", Hll_inv,
-                bl + jnp.einsum("kmab,ka->mb", W, dp),
-            )
-            dR, dt = exp_se3(dp)
-            R_new, t_new = se3_compose(dR, dt, R_all, t_all)
+            dR, dtv = exp_se3(dp)
+            R_new, t_new = se3_compose(dR, dtv, R_all, t_all)
             X_new = X_blk + dl * lmm_blk[:, None]
-            return (R_new, t_new, X_new), None
+            cost_new = psum(compute(R_new, t_new, X_new)[5])
+            accept = cost_new < cost_prev
+            R_all = jnp.where(accept, R_new, R_all)
+            t_all = jnp.where(accept, t_new, t_all)
+            X_blk = jnp.where(accept, X_new, X_blk)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                            jnp.minimum(lam * 4.0, 1e3))
+            cost = jnp.where(accept, cost_new, cost_prev)
+            return (R_all, t_all, X_blk, lam, cost), None
 
-        (R_f, t_f, X_f), _ = jax.lax.scan(
-            gn_iter, (R_all, t_all, X_blk), None, length=n_iters
-        )
-        return R_f, t_f, X_f
+        cost0 = psum(compute(R_all, t_all, X_blk)[5])
+        init = (R_all, t_all, X_blk, jnp.asarray(init_lambda, dt), cost0)
+        (R_f, t_f, X_f, _, _), _ = jax.lax.scan(gn_iter, init, None,
+                                                length=n_iters)
+        chi2_f = compute(R_f, t_f, X_f)[4]
+        return R_f, t_f, X_f, chi2_f
 
     def _blockdiag6(Hb, K):
         out = jnp.zeros((K, 6, K, 6), Hb.dtype)
         out = out.at[jnp.arange(K), :, jnp.arange(K), :].set(Hb)
         return out.reshape(6 * K, 6 * K)
 
-    return solve(R_cw, t_cw, fixed, X, lm_mask, obs_pose, obs_lm, obs_uv,
-                 obs_level, obs_mask)
+    return solve(*args)
 
 
 def shard_ba_problem(mesh, n_devices, X, lm_mask, obs_pose, obs_lm, obs_uv,
-                     obs_level, obs_mask):
+                     obs_level, obs_mask, obs_ur=None):
     """Host-side partitioner: round-robin landmarks into equal blocks, route
     each observation to its landmark's device, convert obs_lm to local
     indices, and pad every shard to a common size.
 
-    Returns device-ready (X, lm_mask, obs_*) numpy arrays (concatenated
-    shards — apply jax.device_put with a NamedSharding over axis 0).
-    """
+    Returns device-ready (X, lm_mask, obs_*, [obs_ur], dev_of_lm,
+    local_of_lm, Mb) numpy arrays (concatenated shards — apply
+    jax.device_put with a NamedSharding over axis 0)."""
     import numpy as np
 
     M = X.shape[0]
@@ -174,6 +216,8 @@ def shard_ba_problem(mesh, n_devices, X, lm_mask, obs_pose, obs_lm, obs_uv,
     ouv_sh = np.zeros((n_devices, Ob, 2), obs_uv.dtype)
     olev_sh = np.zeros((n_devices, Ob), obs_level.dtype)
     om_sh = np.zeros((n_devices, Ob), obs_mask.dtype)
+    our_sh = np.full((n_devices, Ob), -1.0, np.float32)
+    obs_slot = np.full((n_devices, Ob), -1, np.int64)  # global obs index
     for d, idx in enumerate(per_dev):
         n = len(idx)
         op_sh[d, :n] = obs_pose[idx]
@@ -181,9 +225,15 @@ def shard_ba_problem(mesh, n_devices, X, lm_mask, obs_pose, obs_lm, obs_uv,
         ouv_sh[d, :n] = obs_uv[idx]
         olev_sh[d, :n] = obs_level[idx]
         om_sh[d, :n] = obs_mask[idx]
-    return (
+        obs_slot[d, :n] = idx
+        if obs_ur is not None:
+            our_sh[d, :n] = obs_ur[idx]
+    out = [
         X_sh.reshape(-1, 3), lmm_sh.reshape(-1),
         op_sh.reshape(-1), ol_sh.reshape(-1), ouv_sh.reshape(-1, 2),
         olev_sh.reshape(-1), om_sh.reshape(-1),
-        dev_of_lm, local_of_lm, Mb,
-    )
+    ]
+    if obs_ur is not None:
+        out.append(our_sh.reshape(-1))
+    out += [dev_of_lm, local_of_lm, Mb, obs_slot.reshape(-1)]
+    return tuple(out)

@@ -37,6 +37,7 @@ class LoopCloser:
     inertial: bool = False
     run_gba: bool = True    # full-map BA after the pose-graph correction
     gba_iters: int = 10     # LoopClosing.cc:2289 nIterations=10
+    ba_mesh: object = None  # jax.sharding.Mesh -> landmark-sharded GBA
     stats: dict = field(default_factory=lambda: {
         "n_queries": 0, "n_candidates": 0, "n_verified": 0, "n_corrected": 0,
         "n_gba": 0})
@@ -206,5 +207,6 @@ class LoopCloser:
         if self.run_gba:
             from orb_slam3_study_kr_tpu.pipeline.global_ba import (
                 global_bundle_adjustment)
-            if global_bundle_adjustment(self.cfg, m, n_iters=self.gba_iters):
+            if global_bundle_adjustment(self.cfg, m, n_iters=self.gba_iters,
+                                        mesh=self.ba_mesh):
                 self.stats["n_gba"] += 1

@@ -43,6 +43,9 @@ class SystemConfig:
     vocab_k: int = 8
     vocab_L: int = 3
     vocab_min_kfs: int = 5   # train the vocabulary once this many KFs exist
+    # Distributed BA: shard global BA by landmark over this many devices
+    # (0/1 = single device).  Uses jax.devices()[:ba_devices].
+    ba_devices: int = 0
 
 
 class SlamSystem:
@@ -61,6 +64,12 @@ class SlamSystem:
         self.merger = None
         self.timings = []
         self._key = jax.random.PRNGKey(99)
+        self.ba_mesh = None
+        if self.cfg.ba_devices > 1:
+            from orb_slam3_study_kr_tpu.parallel import make_ba_mesh
+            devs = jax.devices()
+            if len(devs) >= self.cfg.ba_devices:
+                self.ba_mesh = make_ba_mesh(devs[: self.cfg.ba_devices])
         self._new_active_map()
 
     # ------------------------------------------------------------------
@@ -98,7 +107,8 @@ class SlamSystem:
             self.db = KeyframeDatabase(self.voc)
             self.map_dbs[m.map_id] = self.db
             from orb_slam3_study_kr_tpu.pipeline.loop_closing import LoopCloser
-            self.loop_closer = LoopCloser(cfg=self.cfg.tracker, map=m, db=self.db)
+            self.loop_closer = LoopCloser(cfg=self.cfg.tracker, map=m,
+                                          db=self.db, ba_mesh=self.ba_mesh)
 
     def _build_tracker(self, m):
         kw = dict(
@@ -147,7 +157,8 @@ class SlamSystem:
                                     L=self.cfg.vocab_L, seed=0)
         self.db = KeyframeDatabase(self.voc)
         self.map_dbs[m.map_id] = self.db
-        self.loop_closer = LoopCloser(cfg=self.cfg.tracker, map=m, db=self.db)
+        self.loop_closer = LoopCloser(cfg=self.cfg.tracker, map=m,
+                                      db=self.db, ba_mesh=self.ba_mesh)
         for k in kfs:
             self.db.add(int(k), m.kf_desc[k], m.kf_kp_valid[k])
 
@@ -209,7 +220,7 @@ class SlamSystem:
             for a, j in res.kf_map.items():
                 self.db.add(int(j), mB.kf_desc[j], mB.kf_kp_valid[j])
             self.loop_closer = LoopCloser(cfg=self.cfg.tracker, map=mB,
-                                          db=self.db)
+                                          db=self.db, ba_mesh=self.ba_mesh)
 
         # Pipeline stages follow the new map.
         self.local_mapper.map = mB

@@ -33,9 +33,75 @@ def _gather_obs(R_cw, t_cw, X, obs_pose, obs_lm):
     return R_cw[obs_pose], t_cw[obs_pose], X[obs_lm]
 
 
+def _schur_pcg(Hpp_d, bp, Hll_inv, bl, E, obs_pose, obs_lm, fixed, n_cg,
+               psum_fn=None):
+    """Matrix-free solve of the reduced camera system S dp = rhs.
+
+    S v = Hpp_d v - W Hll_inv W^T v is evaluated with two segment-sum
+    sweeps over the observations (never materializing W); the block-Jacobi
+    preconditioner uses the EXACT diagonal of S (each pose/landmark pair
+    has at most one observation, so the diagonal correction is a single
+    segment-sum of Y E^T).  With psum_fn set (shard_map context), partial
+    segment results are all-reduced across devices — observations can be
+    sharded by landmark with replicated poses."""
+    K = Hpp_d.shape[0]
+    M = Hll_inv.shape[0]
+    dt = Hpp_d.dtype
+    psum = psum_fn if psum_fn is not None else (lambda x: x)
+    freeK = (1.0 - fixed)[:, None]
+
+    Y = jnp.einsum("nab,nbc->nac", E, Hll_inv[obs_lm])   # (O, 6, 3)
+
+    rhs = -(bp - psum(jnp.zeros((K, 6), dt).at[obs_pose].add(
+        jnp.einsum("nab,nb->na", Y, bl[obs_lm]))))
+    rhs = rhs * freeK
+
+    Dk = Hpp_d - psum(jnp.zeros((K, 6, 6), dt).at[obs_pose].add(
+        jnp.einsum("nab,ncb->nac", Y, E)))
+    Dk = Dk * freeK[..., None] + jnp.eye(6, dtype=dt)[None] * fixed[:, None, None]
+    Minv = jnp.linalg.inv(Dk)
+
+    def matvec(v):
+        v = v * freeK
+        u = jnp.einsum("kab,kb->ka", Hpp_d, v)
+        # Landmark-space segment sum stays LOCAL: each landmark's full
+        # observation set lives on one device (blocks on other devices are
+        # different landmarks), so only pose-space reductions are psum'd.
+        tv = jnp.zeros((M, 3), dt).at[obs_lm].add(
+            jnp.einsum("nab,na->nb", E, v[obs_pose]))
+        z = jnp.einsum("mab,mb->ma", Hll_inv, tv)
+        u2 = psum(jnp.zeros((K, 6), dt).at[obs_pose].add(
+            jnp.einsum("nab,nb->na", E, z[obs_lm])))
+        return (u - u2) * freeK
+
+    x0 = jnp.zeros((K, 6), dt)
+    r0 = rhs
+    z0 = jnp.einsum("kab,kb->ka", Minv, r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def cg_step(carry, _):
+        x, r, p, rz = carry
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap)
+        alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = jnp.einsum("kab,kb->ka", Minv, r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (dp, _, _, _), _ = jax.lax.scan(cg_step, (x0, r0, p0, rz0), None,
+                                    length=n_cg)
+    return dp
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("project_fn", "project_jac_fn", "n_iters", "use_huber"),
+    static_argnames=("project_fn", "project_jac_fn", "n_iters", "use_huber",
+                     "assembly", "n_cg"),
 )
 def bundle_adjust(
     project_fn, project_jac_fn,
@@ -46,12 +112,23 @@ def bundle_adjust(
     use_huber: bool = True,
     init_lambda: float = 1e-4,
     obs_ur=None, bf=None,
+    assembly: str = "dense",      # "dense" | "pcg"
+    n_cg: int = 60,
 ):
     """Returns (R_cw, t_cw, X, final_chi2 (O,), final_cost).
 
     With obs_ur (O,) and bf = fx * baseline, observations with obs_ur >= 0
     get the reference's third stereo residual row (EdgeStereoSE3ProjectXYZ)
-    and the 3-dof chi2/Huber gate 7.815."""
+    and the 3-dof chi2/Huber gate 7.815.
+
+    assembly="dense" materializes the (K, M, 6, 3) cross block and builds
+    the reduced camera system with one MXU einsum — fastest for local-BA
+    windows.  assembly="pcg" never forms the cross block: the reduced
+    system is solved matrix-free with block-Jacobi-preconditioned conjugate
+    gradients whose matvec is two segment-sum sweeps over the observations
+    (O(O) work, O(K + M + O) memory) — this is what lets global BA run on
+    arbitrarily large maps (the reference's g2o uses sparse Cholesky;
+    iterative Schur is the TPU-native equivalent)."""
     K = R_cw.shape[0]
     M = X.shape[0]
     inv_sigma2 = robust.octave_inv_sigma2(obs_level)
@@ -119,22 +196,25 @@ def bundle_adjust(
         # Dead landmark slots: zero inverse so they never move.
         Hll_inv = Hll_inv * lm_mask[:, None, None]
 
-        # Dense cross-block W (K, 6, M, 3) and the Schur product on the MXU.
-        W = jnp.zeros((K, M, 6, 3), R_cw.dtype).at[obs_pose, obs_lm].add(E)
-        Wi = jnp.einsum("kmab,mbc->kmac", W, Hll_inv)
-        S = -jnp.einsum("kmac,lmbc->kalb", Wi, W).reshape(6 * K, 6 * K)
-        S = S + _blockdiag6(Hpp_d)
-        rhs = -(bp - jnp.einsum("kmab,mb->ka", Wi, bl)).reshape(6 * K)
-        # Fixed poses: force identity rows/cols (their b is already 0).
-        fixd = jnp.repeat(fixed, 6)
-        S = S * (1 - fixd)[:, None] * (1 - fixd)[None, :] + jnp.diag(fixd)
-        dp = jnp.linalg.solve(S, rhs).reshape(K, 6)
+        if assembly == "dense":
+            # Dense cross-block W (K, M, 6, 3); Schur product on the MXU.
+            W = jnp.zeros((K, M, 6, 3), R_cw.dtype).at[obs_pose, obs_lm].add(E)
+            Wi = jnp.einsum("kmab,mbc->kmac", W, Hll_inv)
+            S = -jnp.einsum("kmac,lmbc->kalb", Wi, W).reshape(6 * K, 6 * K)
+            S = S + _blockdiag6(Hpp_d)
+            rhs = -(bp - jnp.einsum("kmab,mb->ka", Wi, bl)).reshape(6 * K)
+            # Fixed poses: force identity rows/cols (their b is already 0).
+            fixd = jnp.repeat(fixed, 6)
+            S = S * (1 - fixd)[:, None] * (1 - fixd)[None, :] + jnp.diag(fixd)
+            dp = jnp.linalg.solve(S, rhs).reshape(K, 6)
+        else:
+            dp = _schur_pcg(Hpp_d, bp, Hll_inv, bl, E, obs_pose, obs_lm,
+                            fixed, n_cg)
 
-        dl = -jnp.einsum(
-            "mab,mb->ma",
-            Hll_inv,
-            bl + jnp.einsum("kmab,ka->mb", W, dp),
-        )
+        # Back-substitution: (W^T dp)_m by segment-sum over observations.
+        Wtdp = jnp.zeros((M, 3), R_cw.dtype).at[obs_lm].add(
+            jnp.einsum("nab,na->nb", E, dp[obs_pose]))
+        dl = -jnp.einsum("mab,mb->ma", Hll_inv, bl + Wtdp)
 
         dR, dt = exp_se3(dp)
         R_new, t_new = se3_compose(dR, dt, R_all, t_all)

@@ -68,31 +68,25 @@ def test_global_ba_recovers_geometry(noisy_map):
     assert np.median(lm_err) < 1e-3
 
 
-def test_global_ba_skips_tiny_and_giant():
+def test_global_ba_skips_tiny():
     cfg = TrackerConfig()
     m = MapState(max_kf=8, max_kp=64, max_lm=256)
     assert not global_bundle_adjustment(cfg, m)  # empty map
 
+
+def test_global_ba_large_map_uses_pcg(noisy_map):
+    """Maps past the dense cross-block budget no longer skip GBA: the
+    matrix-free PCG assembly must recover the same geometry."""
     from orb_slam3_study_kr_tpu.pipeline import global_ba as gba
-    old = gba.MAX_CROSS_BLOCK_FLOATS
+    cfg, m, R_gt, t_gt, X_gt, lm_ids = noisy_map
+    old = gba.DENSE_CROSS_BLOCK_FLOATS
     try:
-        gba.MAX_CROSS_BLOCK_FLOATS = 1  # force the memory guard
-        rng = np.random.default_rng(0)
-        m2 = MapState(max_kf=8, max_kp=64, max_lm=512)
-        ids = m2.add_landmarks(
-            rng.uniform(-1, 1, (40, 3)).astype(np.float32),
-            rng.integers(0, 2, (40, 256)).astype(np.uint8), 0)
-        for k in range(4):
-            kp_lm = np.full(64, NO_LM, np.int32)
-            kp_lm[:40] = ids
-            valid = np.zeros(64, bool)
-            valid[:40] = True
-            m2.add_keyframe(np.eye(3, dtype=np.float32),
-                            np.zeros(3, np.float32),
-                            np.zeros((64, 2), np.float32),
-                            np.zeros(64, np.int32), np.zeros(64, np.float32),
-                            valid, np.zeros((64, 256), np.uint8),
-                            frame_id=k, timestamp=0.1 * k, kp_lm=kp_lm)
-        assert not global_bundle_adjustment(cfg, m2)
+        gba.DENSE_CROSS_BLOCK_FLOATS = 1  # force the PCG path
+        assert global_bundle_adjustment(cfg, m, n_iters=12)
     finally:
-        gba.MAX_CROSS_BLOCK_FLOATS = old
+        gba.DENSE_CROSS_BLOCK_FLOATS = old
+    kfs = np.arange(R_gt.shape[0])
+    t_err = np.linalg.norm(m.kf_t[kfs] - t_gt, axis=1).max()
+    assert t_err < 1e-3, f"pose error {t_err}"
+    lm_err = np.linalg.norm(m.lm_pos[lm_ids] - X_gt, axis=1)
+    assert np.median(lm_err) < 1e-3

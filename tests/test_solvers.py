@@ -182,3 +182,27 @@ def test_fixed_poses_do_not_move(rng):
             np.arccos(np.clip((np.trace(np.asarray(R)[k] @ R_gt[k].T) - 1) / 2, -1, 1))
         )
         assert ang < 0.1
+
+
+def test_bundle_adjust_pcg_matches_dense(rng):
+    """assembly='pcg' (matrix-free reduced camera system) must reach the
+    same optimum as the dense-Schur path."""
+    R_gt, t_gt, X_gt, op, ol, ouv = _make_ba_problem(rng)
+    K, M, O = R_gt.shape[0], X_gt.shape[0], op.shape[0]
+    pert = rng.normal(0, 0.01, (K, 6)).astype(np.float32)
+    pert[0] = 0
+    dR, dt = lie.exp_se3(jnp.asarray(pert))
+    R0, t0 = lie.se3_compose(dR, dt, jnp.asarray(R_gt), jnp.asarray(t_gt))
+    X0 = jnp.asarray(X_gt + rng.normal(0, 0.05, X_gt.shape).astype(np.float32))
+    fixed = jnp.zeros(K).at[0].set(1.0)
+    args = (R0, t0, fixed, X0, jnp.ones(M),
+            jnp.asarray(op), jnp.asarray(ol), jnp.asarray(ouv),
+            jnp.zeros(O, jnp.int32), jnp.ones(O))
+    Rd, td, Xd, chi2d, costd = bundle_adjust(
+        PROJECT, PROJECT_JAC, *args, n_iters=12, assembly="dense")
+    Rp, tp, Xp, chi2p, costp = bundle_adjust(
+        PROJECT, PROJECT_JAC, *args, n_iters=12, assembly="pcg")
+    assert abs(float(costp) - float(costd)) / max(float(costd), 1e-9) < 0.02
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(td), atol=2e-3)
+    med = np.median(np.asarray(chi2p))
+    assert med < 3.0, f"median chi2 {med}"
