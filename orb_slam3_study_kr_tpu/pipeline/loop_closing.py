@@ -1,13 +1,28 @@
 """Loop detection and correction (replaces src/LoopClosing.cc, visual path).
 
-Per keyframe: query the BoW database (excluding the covisible group),
-geometrically verify candidates with dense descriptor matching + Sim3 RANSAC
-(the reference's nBoWMatches=20 / nSim3Inliers=20 gates, LoopClosing.cc:
-583-587), and on acceptance correct the loop: build the essential graph
-(sequential chain + strong-covisibility edges + the loop edge), run the
-Sim3 pose-graph solve, and re-express landmarks through their reference
-keyframe's correction.  Map merging across Atlas maps reuses the same
-verification (round-2 scope).
+The reference's full verification cascade (LoopClosing.cc:325-820) is
+reproduced stage for stage:
+
+  1. BoW candidate retrieval (KeyFrameDatabase::DetectNBestCandidates).
+  2. Descriptor matching between landmark-bound keypoints >= nBoWMatches=20
+     (LoopClosing.cc:583).
+  3. Sim3 RANSAC >= nBoWInliers=15 (LoopClosing.cc:584,699-711).
+  4. Guided SearchByProjection of the candidate's covisible-window landmarks
+     through the coarse Sim3 >= nProjMatches=50 (LoopClosing.cc:586,756).
+  5. OptimizeSim3 reprojection GN refinement (Optimizer.cc:2118), then a
+     second guided projection with the refined Sim3 >= nProjOptMatches=80
+     (LoopClosing.cc:587,775-795).
+  6. Temporal consistency: the same region must verify in >= 3 consecutive
+     keyframes, each time by propagating the previous Sim3 through the
+     relative odometry and re-running stages 4-5
+     (NewDetectCommonRegions / DetectAndReffineSim3FromLastKF,
+     LoopClosing.cc:376-466,537-578).
+
+On acceptance the loop is corrected (CorrectLoop, LoopClosing.cc:971-1216):
+essential-graph Sim3/4-DoF pose solve (with all previously accepted loop
+edges retained), landmark re-expression through each point's reference
+keyframe, loop-point SearchAndFuse duplicate welding (LoopClosing.cc:1142),
+and a global BA refinement.
 """
 
 from dataclasses import dataclass, field
@@ -17,16 +32,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from orb_slam3_study_kr_tpu.bow.database import KeyframeDatabase
-from orb_slam3_study_kr_tpu.ops.track_match import match_by_descriptor
+from orb_slam3_study_kr_tpu.ops.track_match import (match_by_descriptor,
+                                                    match_local_map)
 from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM, MapState
 from orb_slam3_study_kr_tpu.solvers.pose_graph import (optimize_pose_graph,
                                                        relative_sim3)
-from orb_slam3_study_kr_tpu.solvers.sim3_solver import ransac_sim3
+from orb_slam3_study_kr_tpu.solvers.sim3_solver import (optimize_sim3,
+                                                        ransac_sim3)
 
 MIN_MAP_KFS = 12        # reference skips loop detection below 12 KFs
-MIN_BOW_MATCHES = 20
-MIN_SIM3_INLIERS = 20
 COVIS_EDGE_WEIGHT = 100
+MAX_WINDOW_LMS = 4096   # padded landmark count for the guided projections
+
+
+def _pad(a, n, fill=0):
+    out = np.full((n, *a.shape[1:]), fill, a.dtype)
+    out[: min(len(a), n)] = a[:n]
+    return out
 
 
 @dataclass
@@ -38,9 +60,21 @@ class LoopCloser:
     run_gba: bool = True    # full-map BA after the pose-graph correction
     gba_iters: int = 10     # LoopClosing.cc:2289 nIterations=10
     ba_mesh: object = None  # jax.sharding.Mesh -> landmark-sharded GBA
+    # Cascade gates (reference values, LoopClosing.cc:583-587).  Synthetic
+    # tests with sparse scenes may lower them proportionally.
+    min_bow_matches: int = 20       # nBoWMatches
+    min_ransac_inliers: int = 15    # nBoWInliers
+    min_proj_matches: int = 50      # nProjMatches
+    min_proj_opt_matches: int = 80  # nProjOptMatches
+    consistency_required: int = 3   # consecutive-KF verifications
+    max_not_found: int = 2          # pending dropped after this many misses
     stats: dict = field(default_factory=lambda: {
-        "n_queries": 0, "n_candidates": 0, "n_verified": 0, "n_corrected": 0,
-        "n_gba": 0})
+        "n_queries": 0, "n_candidates": 0, "n_stage_bow": 0,
+        "n_stage_ransac": 0, "n_stage_proj": 0, "n_verified": 0,
+        "n_pending": 0, "n_rejected_temporal": 0, "n_corrected": 0,
+        "n_fused_loop": 0, "n_gba": 0})
+    loop_edges: list = field(default_factory=list)  # accepted (kf, cand, R, t, s)
+    _pending: dict = None   # candidate awaiting temporal consistency
     _key: object = None
 
     def __post_init__(self):
@@ -49,22 +83,27 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int):
-        """Detect + correct; then index the keyframe.  Returns True if a
-        loop was corrected."""
+        """Run the detection cascade for one new keyframe; correct the loop
+        once temporal consistency is reached.  Returns True on correction."""
         m = self.map
         corrected = False
         if m.n_kf >= MIN_MAP_KFS:
             self.stats["n_queries"] += 1
-            cands = self._detect(kf)
-            self.stats["n_candidates"] += len(cands)
-            for cand in cands:
-                sim3 = self._verify(kf, cand)
-                if sim3 is not None:
-                    self.stats["n_verified"] += 1
-                    self._correct(kf, cand, sim3)
-                    self.stats["n_corrected"] += 1
-                    corrected = True
-                    break
+            if self._pending is not None:
+                corrected = self._advance_pending(kf)
+            if not corrected and self._pending is None:
+                for cand in self._detect(kf):
+                    self.stats["n_candidates"] += 1
+                    hit = self._verify_cascade(kf, cand)
+                    if hit is not None:
+                        self.stats["n_verified"] += 1
+                        self._pending = dict(
+                            cand=cand, window=hit["window"],
+                            Scw=hit["Scw"], last_kf=kf, count=1, not_found=0)
+                        self.stats["n_pending"] += 1
+                        if self.consistency_required <= 1:
+                            corrected = self._accept(kf)
+                        break
         self.db.add(kf, m.kf_desc[kf, : m.max_kp], m.kf_kp_valid[kf])
         return corrected
 
@@ -81,50 +120,208 @@ class LoopCloser:
         )
 
     # ------------------------------------------------------------------
-    def _verify(self, kf: int, cand: int):
-        """Descriptor matching between landmark-bound keypoints, then Sim3
-        RANSAC in the two camera frames."""
+    def _window_landmarks(self, cand: int):
+        """Landmarks of the candidate and its 10 best covisible neighbors
+        (LoopClosing.cc:613 nNumCovisibles)."""
         m = self.map
+        nbs, _ = m.covisibility(cand, min_shared=15)
+        kfs = [cand] + [int(k) for k in nbs[:10]]
+        lms = np.unique(m.kf_kp_lm[kfs])
+        lms = lms[lms != NO_LM]
+        return lms[m.lm_valid[lms]]
+
+    # ------------------------------------------------------------------
+    def _guided_match(self, kf: int, lms: np.ndarray, R_s, t_s, s_s, th=3.0):
+        """SearchByProjection(KeyFrame, Scw, points) — project window
+        landmarks through the scaled world->camera Sim3 into the keyframe.
+        The Sim3 is normalized to [R | t/s] so camera-frame distances stay in
+        map units (ORBmatcher.cc SearchByProjection Scw normalization).
+
+        Returns (kp_idx, lm_ids) of accepted pairs."""
+        m = self.map
+        n = min(lms.size, MAX_WINDOW_LMS)
+        lms = lms[:n]
+        mask = np.zeros(MAX_WINDOW_LMS, np.float32)
+        mask[:n] = 1.0
+        lm_slot, ok, _ = match_local_map(
+            self.cfg.project_fn,
+            jnp.asarray(R_s, jnp.float32),
+            jnp.asarray(np.asarray(t_s, np.float32) / np.float32(s_s)),
+            jnp.asarray(_pad(m.lm_pos[lms], MAX_WINDOW_LMS)),
+            jnp.asarray(_pad(m.lm_normal[lms], MAX_WINDOW_LMS)),
+            jnp.asarray(_pad(m.lm_min_dist[lms], MAX_WINDOW_LMS)),
+            jnp.asarray(_pad(m.lm_max_dist[lms], MAX_WINDOW_LMS)),
+            jnp.asarray(_pad(m.lm_desc[lms], MAX_WINDOW_LMS)),
+            jnp.asarray(mask),
+            jnp.asarray(m.kf_kp_uv[kf]), jnp.asarray(m.kf_kp_level[kf]),
+            jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_kp_valid[kf]),
+            self.cfg.width, self.cfg.height, th=th, max_dist=50.0,
+        )
+        lm_slot = np.asarray(lm_slot)
+        ok = np.asarray(ok) & (lm_slot < n)
+        kp_idx = np.nonzero(ok)[0]
+        return kp_idx, lms[lm_slot[kp_idx]]
+
+    # ------------------------------------------------------------------
+    def _refine_sim3(self, kf: int, cand: int, kp_idx, lm_ids,
+                     R12, t12, s12):
+        """OptimizeSim3 on the guided matches: two-sided reprojection GN over
+        S12 (candidate camera -> current camera).  Pairs need the current
+        keypoint's own landmark for the inverse edge (Optimizer.cc:2170-2190);
+        unbound keypoints are dropped from the solve."""
+        m = self.map
+        lm1 = m.kf_kp_lm[kf, kp_idx]
+        keep = (lm1 != NO_LM) & m.lm_valid[np.clip(lm1, 0, None)]
+        kp_idx, lm_ids, lm1 = kp_idx[keep], lm_ids[keep], lm1[keep]
+        if kp_idx.size < 3:
+            return None
+        P1 = m.lm_pos[lm1] @ m.kf_R[kf].T + m.kf_t[kf]
+        P2 = m.lm_pos[lm_ids] @ m.kf_R[cand].T + m.kf_t[cand]
+        uv1 = m.kf_kp_uv[kf, kp_idx]
+        uv2 = np.asarray(jax.device_get(
+            self.cfg.project_fn(jnp.asarray(P2))), np.float32)
+        N = 256
+        mask = _pad(np.ones(kp_idx.size, np.float32), N)
+        out = optimize_sim3(
+            jnp.asarray(_pad(P1.astype(np.float32), N)),
+            jnp.asarray(_pad(P2.astype(np.float32), N)),
+            jnp.asarray(mask),
+            jnp.asarray(_pad(uv1.astype(np.float32), N)),
+            jnp.asarray(_pad(uv2, N)),
+            self.cfg.K,
+            jnp.asarray(R12, jnp.float32), jnp.asarray(t12, jnp.float32),
+            jnp.asarray(s12, jnp.float32), fix_scale=self.inertial,
+        )
+        return (np.asarray(out["R12"]), np.asarray(out["t12"]),
+                float(out["s12"]))
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _compose_scw(R12, t12, s12, R_c, t_c):
+        """Scw = S12 . T_cand_w  (world -> current camera, scaled)."""
+        R = R12 @ R_c
+        t = s12 * R12 @ t_c + t12
+        return R, t, s12
+
+    @staticmethod
+    def _s12_from_scw(R_s, t_s, s_s, R_c, t_c):
+        """S12 = Scw . T_w_cand  (candidate camera -> current camera)."""
+        R12 = R_s @ R_c.T
+        t12 = t_s - s_s * R12 @ t_c
+        return R12, t12, s_s
+
+    # ------------------------------------------------------------------
+    def _verify_cascade(self, kf: int, cand: int):
+        """Stages 2-5 for a fresh candidate.  Returns dict(Scw, window) or
+        None."""
+        m = self.map
+        # Stage 2: descriptor matches between landmark-bound keypoints.
         b1 = m.kf_kp_lm[kf] != NO_LM
         b2 = m.kf_kp_lm[cand] != NO_LM
         idx, ok, _ = match_by_descriptor(
             jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_kp_valid[kf] & b1),
             jnp.asarray(m.kf_desc[cand]), jnp.asarray(m.kf_kp_valid[cand] & b2),
         )
-        idx = np.asarray(idx)
-        ok = np.asarray(ok)
-        if ok.sum() < MIN_BOW_MATCHES:
+        idx, ok = np.asarray(idx), np.asarray(ok)
+        if ok.sum() < self.min_bow_matches:
             return None
+        self.stats["n_stage_bow"] += 1
         kp1 = np.nonzero(ok)[0]
         kp2 = idx[kp1]
         lm1 = m.kf_kp_lm[kf, kp1]
         lm2 = m.kf_kp_lm[cand, kp2]
-        # Camera-frame positions of each side's landmark.
         P1 = m.lm_pos[lm1] @ m.kf_R[kf].T + m.kf_t[kf]
         P2 = m.lm_pos[lm2] @ m.kf_R[cand].T + m.kf_t[cand]
         uv1 = m.kf_kp_uv[kf, kp1]
         uv2 = m.kf_kp_uv[cand, kp2]
         N = 256
-        def pad(a, fill=0):
-            out = np.full((N, *a.shape[1:]), fill, a.dtype)
-            out[: min(len(a), N)] = a[:N]
-            return out
-        mask = pad(np.ones(len(kp1), np.float32))
+        mask = _pad(np.ones(len(kp1), np.float32), N)
         self._key, sub = jax.random.split(self._key)
+        # Stage 3: Sim3 RANSAC on the camera-frame landmark pairs.
         out = ransac_sim3(
-            sub, jnp.asarray(pad(P1)), jnp.asarray(pad(P2)), jnp.asarray(mask),
-            jnp.asarray(pad(uv1)), jnp.asarray(pad(uv2)),
+            sub, jnp.asarray(_pad(P1, N)), jnp.asarray(_pad(P2, N)),
+            jnp.asarray(mask), jnp.asarray(_pad(uv1, N)),
+            jnp.asarray(_pad(uv2, N)),
             self.cfg.K, fix_scale=self.inertial,
         )
-        if int(out["n_inliers"]) < MIN_SIM3_INLIERS:
+        if int(out["n_inliers"]) < self.min_ransac_inliers:
             return None
-        return out
+        self.stats["n_stage_ransac"] += 1
+        R12 = np.asarray(out["R12"])
+        t12 = np.asarray(out["t12"])
+        s12 = float(out["s12"])
+        # Stage 4: guided projection of the candidate window's landmarks.
+        window = self._window_landmarks(cand)
+        Scw = self._compose_scw(R12, t12, s12, m.kf_R[cand], m.kf_t[cand])
+        kp_idx, lm_ids = self._guided_match(kf, window, *Scw, th=3.0)
+        if kp_idx.size < self.min_proj_matches:
+            return None
+        self.stats["n_stage_proj"] += 1
+        # Stage 5: OptimizeSim3 refinement + re-projection gate.
+        ref = self._refine_sim3(kf, cand, kp_idx, lm_ids, R12, t12, s12)
+        if ref is None:
+            return None
+        Scw = self._compose_scw(*ref, m.kf_R[cand], m.kf_t[cand])
+        kp_idx, lm_ids = self._guided_match(kf, window, *Scw, th=1.5)
+        if kp_idx.size < self.min_proj_opt_matches:
+            return None
+        return dict(Scw=Scw, window=window)
+
+    # ------------------------------------------------------------------
+    def _advance_pending(self, kf: int):
+        """DetectAndReffineSim3FromLastKF: propagate the pending Sim3 through
+        relative odometry to this keyframe and re-verify stages 4-5; accept
+        the loop once `consistency_required` consecutive KFs confirmed."""
+        m = self.map
+        p = self._pending
+        last = p["last_kf"]
+        # T_cur_last from the current pose estimates; Scw_cur = T_cur_last . Scw_last.
+        R_cl = m.kf_R[kf] @ m.kf_R[last].T
+        t_cl = m.kf_t[kf] - R_cl @ m.kf_t[last]
+        R_s, t_s, s_s = p["Scw"]
+        Scw = (R_cl @ R_s, R_cl @ t_s + s_s * t_cl, s_s)
+        kp_idx, lm_ids = self._guided_match(kf, p["window"], *Scw, th=3.0)
+        ok = kp_idx.size >= self.min_proj_matches
+        if ok:
+            cand = p["cand"]
+            S12 = self._s12_from_scw(*Scw, m.kf_R[cand], m.kf_t[cand])
+            ref = self._refine_sim3(kf, cand, kp_idx, lm_ids, *S12)
+            if ref is not None:
+                Scw_ref = self._compose_scw(*ref, m.kf_R[cand], m.kf_t[cand])
+                kp_idx, _ = self._guided_match(kf, p["window"], *Scw_ref,
+                                               th=1.5)
+                if kp_idx.size >= self.min_proj_opt_matches:
+                    p.update(Scw=Scw_ref, last_kf=kf, not_found=0)
+                    p["count"] += 1
+                    if p["count"] >= self.consistency_required:
+                        return self._accept(kf)
+                    return False
+        p["not_found"] += 1
+        if p["not_found"] >= self.max_not_found:
+            self.stats["n_rejected_temporal"] += 1
+            self._pending = None
+        return False
+
+    # ------------------------------------------------------------------
+    def _accept(self, kf: int):
+        m = self.map
+        p = self._pending
+        self._pending = None
+        cand = p["cand"]
+        R12, t12, s12 = self._s12_from_scw(*p["Scw"], m.kf_R[cand],
+                                           m.kf_t[cand])
+        self._correct(kf, cand, dict(R12=R12, t12=t12, s12=s12))
+        self._search_and_fuse(kf, p["window"])
+        self.stats["n_corrected"] += 1
+        self._run_gba()
+        return True
 
     # ------------------------------------------------------------------
     def _correct(self, kf: int, cand: int, sim3):
         """Essential-graph correction: the loop edge constrains
         S_kf = S12 . S_cand (S maps world -> camera, Sim3 with the
-        estimated scale)."""
+        estimated scale).  All previously accepted loop edges participate
+        (KeyFrame loop-edge bookkeeping, KeyFrame.h:242-247)."""
         m = self.map
         kfs = np.nonzero(m.kf_valid)[0]
         K = kfs.size
@@ -156,12 +353,20 @@ class LoopCloser:
                     r = relative_sim3(R[pos[int(i)]], t[pos[int(i)]], s[pos[int(i)]],
                                       R[pos[int(j)]], t[pos[int(j)]], s[pos[int(j)]])
                     add_edge(int(i), int(j), *r)
-        # The loop edge: S_kf_corrected = S12 . S_cand  =>  relative
+        # Previously accepted loop edges: their relative Sim3 was burned into
+        # the poses at their own correction, so re-measure from poses.
+        for (a, b) in self.loop_edges:
+            if a in pos and b in pos:
+                r = relative_sim3(R[pos[a]], t[pos[a]], s[pos[a]],
+                                  R[pos[b]], t[pos[b]], s[pos[b]])
+                add_edge(a, b, *r, weight=5.0)
+        # The new loop edge: S_kf_corrected = S12 . S_cand  =>  relative
         # S_kf . S_cand^-1 measured as S12.
         add_edge(kf, cand,
-                 jnp.asarray(np.asarray(sim3["R12"])),
-                 jnp.asarray(np.asarray(sim3["t12"])),
-                 jnp.asarray(float(sim3["s12"])), weight=5.0)
+                 jnp.asarray(np.asarray(sim3["R12"], np.float32)),
+                 jnp.asarray(np.asarray(sim3["t12"], np.float32)),
+                 jnp.asarray(float(sim3["s12"]), jnp.float32), weight=5.0)
+        self.loop_edges.append((int(kf), int(cand)))
 
         fixed = np.zeros(K, np.float32)
         fixed[pos[int(kfs[0])]] = 1.0
@@ -202,11 +407,51 @@ class LoopCloser:
             m.lm_pos[lms] = np.einsum(
                 "nji,nj->ni", Rn, pc - tn) / sn[:, None]
         m.change_idx += 1
-        # Global BA refines the pose-graph solution over the whole map
-        # (RunGlobalBundleAdjustment, LoopClosing.cc:2273).
+
+    # ------------------------------------------------------------------
+    def _search_and_fuse(self, kf: int, window_lms: np.ndarray):
+        """Loop-point fusion (LoopClosing::SearchAndFuse, LoopClosing.cc:
+        1142,2120): project the loop side's landmarks into the current
+        keyframe and its covisible neighbors (poses already corrected);
+        duplicates are welded in favor of the loop-side landmark."""
+        from orb_slam3_study_kr_tpu import native
+
+        m = self.map
+        nbs, _ = m.covisibility(kf, min_shared=15)
+        targets = [kf] + [int(k) for k in nbs[:10]]
+        window_lms = window_lms[m.lm_valid[window_lms]]
+        if window_lms.size == 0:
+            return
+        for t_kf in targets:
+            kp_idx, lm_ids = self._guided_match(
+                kf=t_kf, lms=window_lms,
+                R_s=m.kf_R[t_kf], t_s=m.kf_t[t_kf], s_s=1.0, th=4.0)
+            for kp, lm_new in zip(kp_idx, lm_ids):
+                lm_old = int(m.kf_kp_lm[t_kf, kp])
+                lm_new = int(lm_new)
+                if lm_old == lm_new or not m.lm_valid[lm_new]:
+                    continue
+                if lm_old == NO_LM:
+                    m.kf_kp_lm[t_kf, kp] = lm_new
+                    self.stats["n_fused_loop"] += 1
+                elif m.lm_valid[lm_old]:
+                    # The loop-side landmark replaces the current one
+                    # everywhere (MapPoint::Replace from SearchAndFuse).
+                    native.replace_landmark(m.kf_kp_lm, lm_old, lm_new)
+                    m.lm_valid[lm_old] = False
+                    self.stats["n_fused_loop"] += 1
+        m.n_lm = int(m.lm_valid.sum())
+        m.update_landmark_stats(window_lms)
+        m.change_idx += 1
+
+    # ------------------------------------------------------------------
+    def _run_gba(self):
+        """Global BA refines the pose-graph solution over the whole map
+        (RunGlobalBundleAdjustment, LoopClosing.cc:2273)."""
         if self.run_gba:
             from orb_slam3_study_kr_tpu.pipeline.global_ba import (
                 global_bundle_adjustment)
-            if global_bundle_adjustment(self.cfg, m, n_iters=self.gba_iters,
+            if global_bundle_adjustment(self.cfg, self.map,
+                                        n_iters=self.gba_iters,
                                         mesh=self.ba_mesh):
                 self.stats["n_gba"] += 1

@@ -43,6 +43,11 @@ class SystemConfig:
     vocab_k: int = 8
     vocab_L: int = 3
     vocab_min_kfs: int = 5   # train the vocabulary once this many KFs exist
+    # Pre-built vocabulary (System.cc:117 loadFromTextFile role): a DBoW2
+    # text file (.txt, ORBvoc format) or a cached .npz from
+    # bow.vocabulary.save_vocabulary.  None = train on this session's
+    # descriptors once vocab_min_kfs keyframes exist.
+    vocabulary_path: str = None
     # Distributed BA: shard global BA by landmark over this many devices
     # (0/1 = single device).  Uses jax.devices()[:ba_devices].
     ba_devices: int = 0
@@ -108,7 +113,8 @@ class SlamSystem:
             self.map_dbs[m.map_id] = self.db
             from orb_slam3_study_kr_tpu.pipeline.loop_closing import LoopCloser
             self.loop_closer = LoopCloser(cfg=self.cfg.tracker, map=m,
-                                          db=self.db, ba_mesh=self.ba_mesh)
+                                          db=self.db, ba_mesh=self.ba_mesh,
+                                          inertial=self.cfg.sensor.endswith("-inertial"))
 
     def _build_tracker(self, m):
         kw = dict(
@@ -145,20 +151,29 @@ class SlamSystem:
         if self.voc is not None or not self.cfg.enable_loop_closing:
             return
         m = self.atlas.active_map
-        if m.n_kf < self.cfg.vocab_min_kfs:
+        if self.cfg.vocabulary_path is None and m.n_kf < self.cfg.vocab_min_kfs:
             return
         from orb_slam3_study_kr_tpu.bow import KeyframeDatabase, train_vocabulary
         from orb_slam3_study_kr_tpu.pipeline.loop_closing import LoopCloser
         kfs = np.nonzero(m.kf_valid)[0]
-        descs = np.concatenate([
-            m.kf_desc[k][m.kf_kp_valid[k]] for k in kfs
-        ])
-        self.voc = train_vocabulary(descs, k=self.cfg.vocab_k,
-                                    L=self.cfg.vocab_L, seed=0)
+        if self.cfg.vocabulary_path is not None:
+            # Pre-built vocabulary, shared across every map of the session.
+            from orb_slam3_study_kr_tpu.bow.vocabulary import (load_dbow2_text,
+                                                               load_vocabulary)
+            p = str(self.cfg.vocabulary_path)
+            self.voc = (load_dbow2_text(p) if p.endswith(".txt")
+                        else load_vocabulary(p))
+        else:
+            descs = np.concatenate([
+                m.kf_desc[k][m.kf_kp_valid[k]] for k in kfs
+            ])
+            self.voc = train_vocabulary(descs, k=self.cfg.vocab_k,
+                                        L=self.cfg.vocab_L, seed=0)
         self.db = KeyframeDatabase(self.voc)
         self.map_dbs[m.map_id] = self.db
         self.loop_closer = LoopCloser(cfg=self.cfg.tracker, map=m,
-                                      db=self.db, ba_mesh=self.ba_mesh)
+                                      db=self.db, ba_mesh=self.ba_mesh,
+                                          inertial=self.cfg.sensor.endswith("-inertial"))
         for k in kfs:
             self.db.add(int(k), m.kf_desc[k], m.kf_kp_valid[k])
 
@@ -220,7 +235,8 @@ class SlamSystem:
             for a, j in res.kf_map.items():
                 self.db.add(int(j), mB.kf_desc[j], mB.kf_kp_valid[j])
             self.loop_closer = LoopCloser(cfg=self.cfg.tracker, map=mB,
-                                          db=self.db, ba_mesh=self.ba_mesh)
+                                          db=self.db, ba_mesh=self.ba_mesh,
+                                          inertial=self.cfg.sensor.endswith("-inertial"))
 
         # Pipeline stages follow the new map.
         self.local_mapper.map = mB

@@ -101,3 +101,97 @@ def ransac_sim3(
         inliers=inl_f, n_inliers=n_inl,
         success=n_inl >= 20,  # reference Sim3 inlier threshold
     )
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+def optimize_sim3(P1, P2, mask, uv1, uv2, K, R12, t12, s12,
+                  n_iters=10, chi2_th=10.0, fix_scale=False,
+                  damping=1e-4):
+    """GN refinement of a Sim3 on two-sided reprojection residuals —
+    Optimizer::OptimizeSim3 (/root/reference/src/Optimizer.cc:2118):
+    EdgeSim3ProjectXYZ projects P2 through S12 into image 1 and
+    EdgeInverseSim3ProjectXYZ projects P1 through S12^-1 into image 2, with
+    Huber(sqrt(th2=10)) and outliers gated at chi2 > 10.
+
+    P1/P2 in each keyframe's camera frame; uv in each image; the solve is
+    over [omega(3), upsilon(3), log_s(1)] right-increments.  Mirrors the
+    reference's two-round schedule: optimize, hard-remove pairs with either
+    edge chi2 > th2 (Optimizer.cc:2260-2290), optimize again on survivors.
+
+    Returns dict(R12, t12, s12, inliers, n_inliers)."""
+    from orb_slam3_study_kr_tpu.lie.so3 import exp_so3
+    from orb_slam3_study_kr_tpu.solvers import robust
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    def project(p):
+        z = jnp.maximum(p[..., 2], 1e-6)
+        return jnp.stack([fx * p[..., 0] / z + cx,
+                          fy * p[..., 1] / z + cy], -1)
+
+    def unpack(x):
+        R = R12 @ exp_so3(x[0:3])
+        t = t12 + x[3:6]
+        ls = jnp.where(fix_scale, 0.0, x[6])
+        s = s12 * jnp.exp(ls)
+        return R, t, s
+
+    def residuals(x):
+        R, t, s = unpack(x)
+        p1 = s * P2 @ R.T + t
+        e1 = project(p1) - uv1
+        Rb = R.T
+        sb = 1.0 / s
+        tb = -sb * Rb @ t
+        p2 = sb * P1 @ Rb.T + tb
+        e2 = project(p2) - uv2
+        return e1, e2
+
+    def chi2(x):
+        e1, e2 = residuals(x)
+        return jnp.sum(e1 * e1, -1), jnp.sum(e2 * e2, -1)
+
+    def weights(x, gate):
+        c1, c2 = chi2(x)
+        d = jnp.sqrt(jnp.asarray(chi2_th, P1.dtype))
+        w1 = mask * gate * robust.huber_weight(c1, d)
+        w2 = mask * gate * robust.huber_weight(c2, d)
+        return w1, w2
+
+    def flat(x, w1, w2):
+        e1, e2 = residuals(x)
+        return jnp.concatenate([
+            (e1 * jnp.sqrt(w1)[:, None]).reshape(-1),
+            (e2 * jnp.sqrt(w2)[:, None]).reshape(-1),
+        ])
+
+    def gn_step(carry, _):
+        x, lam, gate = carry
+        w1, w2 = weights(x, gate)
+        r = flat(x, w1, w2)
+        J = jax.jacfwd(lambda xx: flat(xx, w1, w2))(x)
+        H = J.T @ J + lam * jnp.eye(7, dtype=x.dtype)
+        dx = -jnp.linalg.solve(H, J.T @ r)
+        x_new = x + dx
+        better = jnp.sum(flat(x_new, w1, w2) ** 2) < jnp.sum(r ** 2)
+        x = jnp.where(better, x_new, x)
+        lam = jnp.where(better, jnp.maximum(lam * 0.5, 1e-7),
+                        jnp.minimum(lam * 5.0, 1e3))
+        return (x, lam, gate), None
+
+    x0 = jnp.zeros(7, P1.dtype)
+    lam0 = jnp.asarray(damping, P1.dtype)
+    gate = jnp.ones_like(mask)
+    (x, lam, _), _ = jax.lax.scan(gn_step, (x0, lam0, gate),
+                                  None, length=n_iters)
+    # Hard outlier removal between rounds (a pair is dropped if either of
+    # its edges exceeds th2), then re-optimize on the survivors.
+    c1, c2 = chi2(x)
+    gate = ((c1 < chi2_th) & (c2 < chi2_th)).astype(mask.dtype)
+    (x, _, _), _ = jax.lax.scan(gn_step, (x, lam0, gate),
+                                None, length=n_iters)
+    R, t, s = unpack(x)
+    c1, c2 = chi2(x)
+    inl = (c1 < chi2_th) & (c2 < chi2_th) & (mask > 0)
+    return dict(R12=R, t12=t, s12=s, inliers=inl,
+                n_inliers=jnp.sum(inl))

@@ -170,3 +170,61 @@ def test_ransac_pnp(rng):
     assert np.degrees(np.arccos(np.clip(c, -1, 1))) < 0.2
     assert np.linalg.norm(np.asarray(out["t"]) - np.asarray(t_gt)) < 0.05
     assert int(out["n_inliers"]) > n - n_out - 10
+
+
+def test_optimize_sim3_refines_coarse_estimate(rng):
+    """OptimizeSim3 parity: a coarse (perturbed) Sim3 with 20% outliers must
+    refine to the true transform and gate the outliers (Optimizer.cc:2118)."""
+    from orb_slam3_study_kr_tpu.solvers.sim3_solver import optimize_sim3
+
+    n = 150
+    P2 = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                   rng.uniform(4, 9, n)], -1).astype(np.float32)
+    z = jnp.asarray([0.08, -0.04, 0.12, 0.4, -0.25, 0.15, 0.25], jnp.float32)
+    R12, t12, s12 = lie.exp_sim3(z)
+    P1 = np.array(lie.sim3_apply(R12, t12, s12, jnp.asarray(P2)))
+    n_out = n // 5
+    P1_obs = P1.copy()
+    P1_obs[:n_out] = rng.permutation(P1_obs[:n_out]) + rng.normal(0, 1.0, (n_out, 3))
+    uv1 = np.asarray(PROJECT(jnp.asarray(P1)))  # true image-1 observations
+    uv2 = np.asarray(PROJECT(jnp.asarray(P2)))
+    # Coarse start: perturb the true Sim3.
+    dz = jnp.asarray([0.02, -0.015, 0.01, 0.05, 0.03, -0.04, 0.05], jnp.float32)
+    dR, dt, ds = lie.exp_sim3(dz)
+    R0 = np.asarray(R12) @ np.asarray(dR)
+    t0 = np.asarray(t12) + np.asarray(dt)
+    s0 = float(s12) * float(ds)
+    out = optimize_sim3(
+        jnp.asarray(P1_obs), jnp.asarray(P2), jnp.ones(n),
+        jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(K_MAT),
+        jnp.asarray(R0, jnp.float32), jnp.asarray(t0, jnp.float32),
+        jnp.asarray(s0, jnp.float32), n_iters=12,
+    )
+    np.testing.assert_allclose(np.asarray(out["R12"]), np.asarray(R12), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["t12"]), np.asarray(t12), atol=2e-2)
+    np.testing.assert_allclose(float(out["s12"]), float(s12), rtol=5e-3)
+    inl = np.asarray(out["inliers"])
+    assert inl[n_out:].mean() > 0.95            # inliers survive
+    assert int(out["n_inliers"]) <= n - n_out // 2  # most outliers gated
+
+
+def test_optimize_sim3_fix_scale(rng):
+    from orb_slam3_study_kr_tpu.solvers.sim3_solver import optimize_sim3
+
+    n = 80
+    P2 = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                   rng.uniform(4, 9, n)], -1).astype(np.float32)
+    z = jnp.asarray([0.05, -0.03, 0.08, 0.3, -0.2, 0.1, 0.0], jnp.float32)
+    R12, t12, s12 = lie.exp_sim3(z)
+    P1 = np.array(lie.sim3_apply(R12, t12, s12, jnp.asarray(P2)))
+    uv1 = np.asarray(PROJECT(jnp.asarray(P1)))
+    uv2 = np.asarray(PROJECT(jnp.asarray(P2)))
+    out = optimize_sim3(
+        jnp.asarray(P1), jnp.asarray(P2), jnp.ones(n),
+        jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(K_MAT),
+        jnp.asarray(np.asarray(R12), jnp.float32),
+        jnp.asarray(np.asarray(t12) + 0.05, jnp.float32),
+        jnp.asarray(1.0, jnp.float32), fix_scale=True,
+    )
+    assert float(out["s12"]) == 1.0
+    np.testing.assert_allclose(np.asarray(out["t12"]), np.asarray(t12), atol=1e-2)
