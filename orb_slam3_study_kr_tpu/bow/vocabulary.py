@@ -136,15 +136,25 @@ def l1_score(v1, v2):
 # (reference: Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h loadFromTextFile).
 # Unlike BinaryVocabulary's complete k-ary layout, nodes here carry explicit
 # child tables, so clusters that produced < k children still descend
-# correctly.  Leaves self-loop, so the batched descent is a fixed L-step
-# gather/argmin regardless of where each branch bottoms out.
+# correctly.  Leaves self-loop, so the batched descent is a fixed
+# `depth`-step gather/argmin regardless of where each branch bottoms out.
+# Centers are stored bit-packed ((n_nodes, 32) uint8) with XOR+popcount
+# Hamming — at ORBvoc scale (~1.1M nodes) this is ~35 MB instead of 280 MB.
 # ---------------------------------------------------------------------------
+
+
+def pack_bits(desc):
+    """(N, 256) {0,1} -> (N, 32) packed uint8 (big-endian bit order, matching
+    np.packbits)."""
+    d = jnp.reshape(desc.astype(jnp.uint8), (*desc.shape[:-1], 32, 8))
+    w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return jnp.sum(d * w, axis=-1, dtype=jnp.uint8)
 
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class TreeVocabulary:
-    centers: jnp.ndarray      # (n_nodes, 256) uint8 {0,1}; root row unused
+    centers: jnp.ndarray      # (n_nodes, 32) packed uint8; root row unused
     children: jnp.ndarray     # (n_nodes, k) int32; missing -> self-loop
     child_valid: jnp.ndarray  # (n_nodes, k) bool
     node_word: jnp.ndarray    # (n_nodes,) int32; -1 for internal nodes
@@ -152,6 +162,10 @@ class TreeVocabulary:
     k: int = field(metadata=dict(static=True), default=10)
     L: int = field(metadata=dict(static=True), default=6)
     n_words_static: int = field(metadata=dict(static=True), default=0)
+    # Actual max leaf depth from the parent chains; the descent runs this
+    # many steps (the reference descends until a leaf, so a file whose
+    # leaves sit deeper than the header L must be caught at load).
+    depth: int = field(metadata=dict(static=True), default=0)
 
     @property
     def n_words(self):
@@ -163,12 +177,14 @@ def transform_tree(voc: TreeVocabulary, desc, valid):
     """Batched descent of a general tree: (N, 256) -> (word (N,), weight (N,))."""
     n = desc.shape[0]
     node = jnp.zeros(n, jnp.int32)  # root
-    d16 = desc.astype(jnp.int16)
-    big = jnp.int16(512)
-    for _ in range(voc.L):
+    dp = pack_bits(desc)            # (N, 32)
+    big = jnp.int32(512)
+    for _ in range(voc.depth or voc.L):
         cand = voc.children[node]                       # (N, k)
-        cc = voc.centers[cand].astype(jnp.int16)        # (N, k, 256)
-        ham = jnp.sum(cc != d16[:, None, :], axis=-1).astype(jnp.int16)
+        cc = voc.centers[cand]                          # (N, k, 32) packed
+        ham = jnp.sum(
+            jax.lax.population_count(cc ^ dp[:, None, :]).astype(jnp.int32),
+            axis=-1)
         ham = jnp.where(voc.child_valid[node], ham, big)
         j = jnp.argmin(ham, axis=1).astype(jnp.int32)
         node = cand[jnp.arange(n), j]
@@ -199,7 +215,10 @@ def load_dbow2_text(path) -> TreeVocabulary:
     ``k L scoring weighting``; then one line per non-root node in id order
     (ids start at 1, root is 0): ``parent_id is_leaf b0 .. b31 weight`` where
     b* are the 32 descriptor bytes.  Word ids are assigned to leaves in file
-    order, as in the reference loader."""
+    order, as in the reference loader.
+
+    First load of a big vocabulary is text-parse-bound; cache the result
+    with save_vocabulary and reload the .npz thereafter."""
     with open(path) as f:
         header = f.readline().split()
         k, L = int(header[0]), int(header[1])
@@ -210,17 +229,44 @@ def load_dbow2_text(path) -> TreeVocabulary:
     desc_bytes = body[:, 2:34].astype(np.uint8)
     weight = body[:, 34].astype(np.float32)
 
-    centers = np.zeros((n_nodes, 256), np.uint8)
-    centers[1:] = np.unpackbits(desc_bytes, axis=1)
+    centers = np.zeros((n_nodes, 32), np.uint8)
+    centers[1:] = desc_bytes
+    node_ids = np.arange(1, n_nodes, dtype=np.int32)
+
+    # Child tables, vectorized: group node ids by parent (stable order keeps
+    # the file's child order, as the reference's push_back does).
+    order = np.argsort(parent, kind="stable")
+    p_s = parent[order]
+    n_s = node_ids[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(p_s)) + 1]
+    group_len = np.diff(np.r_[starts, p_s.size])
+    rank = np.arange(p_s.size) - np.repeat(starts, group_len)
+    if rank.size and rank.max() >= k:
+        raise ValueError(
+            f"vocabulary node has {rank.max() + 1} children, header k={k}")
     children = np.tile(np.arange(n_nodes, dtype=np.int32)[:, None], (1, k))
     child_valid = np.zeros((n_nodes, k), bool)
-    child_count = np.zeros(n_nodes, np.int32)
-    node_ids = np.arange(1, n_nodes, dtype=np.int32)
-    for nid, p in zip(node_ids, parent):
-        c = child_count[p]
-        children[p, c] = nid
-        child_valid[p, c] = True
-        child_count[p] = c + 1
+    children[p_s, rank] = n_s
+    child_valid[p_s, rank] = True
+
+    # Leaf depth via vectorized parent-chain climbing (O(depth) passes).
+    # The descent must reach every leaf: reject files whose leaves sit
+    # deeper than the header L rather than silently landing on an internal
+    # node (word 0 / weight 0).
+    d = np.ones(node_ids.size, np.int64)
+    anc = parent.copy()
+    for _ in range(256):
+        m = anc > 0
+        if not m.any():
+            break
+        d[m] += 1
+        anc = np.where(m, parent[np.maximum(anc, 1) - 1], 0)
+    else:
+        raise ValueError("vocabulary parent chain does not terminate")
+    max_depth = int(d[is_leaf].max()) if is_leaf.any() else 0
+    if max_depth > L:
+        raise ValueError(
+            f"vocabulary leaves at depth {max_depth} exceed header L={L}")
 
     node_word = np.full(n_nodes, -1, np.int32)
     leaf_ids = node_ids[is_leaf]
@@ -234,7 +280,7 @@ def load_dbow2_text(path) -> TreeVocabulary:
         child_valid=jnp.asarray(child_valid),
         node_word=jnp.asarray(node_word),
         node_weight=jnp.asarray(node_weight),
-        k=k, L=L, n_words_static=int(leaf_ids.size),
+        k=k, L=L, n_words_static=int(leaf_ids.size), depth=max_depth,
     )
 
 
@@ -247,7 +293,7 @@ def save_vocabulary(voc, path):
             child_valid=np.asarray(voc.child_valid),
             node_word=np.asarray(voc.node_word),
             node_weight=np.asarray(voc.node_weight),
-            k=voc.k, L=voc.L, n_words=voc.n_words_static)
+            k=voc.k, L=voc.L, n_words=voc.n_words_static, depth=voc.depth)
     else:
         np.savez_compressed(
             path, kind="complete", centers=np.asarray(voc.centers),
@@ -259,13 +305,17 @@ def save_vocabulary(voc, path):
 def load_vocabulary(path):
     z = np.load(path, allow_pickle=False)
     if str(z["kind"]) == "tree":
+        centers = z["centers"]
+        if centers.shape[-1] == 256:  # legacy unpacked bits
+            centers = np.packbits(centers, axis=-1)
         return TreeVocabulary(
-            centers=jnp.asarray(z["centers"]),
+            centers=jnp.asarray(centers),
             children=jnp.asarray(z["children"]),
             child_valid=jnp.asarray(z["child_valid"]),
             node_word=jnp.asarray(z["node_word"]),
             node_weight=jnp.asarray(z["node_weight"]),
-            k=int(z["k"]), L=int(z["L"]), n_words_static=int(z["n_words"]))
+            k=int(z["k"]), L=int(z["L"]), n_words_static=int(z["n_words"]),
+            depth=int(z["depth"]) if "depth" in z else int(z["L"]))
     return BinaryVocabulary(
         centers=jnp.asarray(z["centers"]),
         word_weights=jnp.asarray(z["word_weights"]),
