@@ -36,10 +36,13 @@ def project(params, pts):
 
 
 def unproject(params, uv, iters: int = 10):
-    """Pixels (..., 2) -> unit-depth bearing (..., 3) with z = 1.
+    """Pixels (..., 2) -> UNIT bearing vector (..., 3).
 
     Newton's method on theta_d(theta) - target = 0, 10 iterations as the
-    reference does (KannalaBrandt8.cpp unproject)."""
+    reference does (KannalaBrandt8.cpp unproject).  Returns the unit ray
+    (sin(theta) * dir_xy, cos(theta)) rather than a z = 1 point: rays
+    beyond 90 degrees off-axis (z <= 0, routine on a 195-degree lens)
+    have no z = 1 representation."""
     fx, fy, cx, cy = params[..., 0], params[..., 1], params[..., 2], params[..., 3]
     mx = (uv[..., 0] - cx) / fx
     my = (uv[..., 1] - cy) / fy
@@ -56,8 +59,8 @@ def unproject(params, uv, iters: int = 10):
         return theta - f / jnp.maximum(dpoly, _EPS)
 
     theta = jax.lax.fori_loop(0, iters, body, td)
-    scale = jnp.tan(theta) / jnp.maximum(td, _EPS)
-    return jnp.stack([mx * scale, my * scale, jnp.ones_like(mx)], axis=-1)
+    s = jnp.sin(theta) / jnp.maximum(td, _EPS)
+    return jnp.stack([mx * s, my * s, jnp.cos(theta)], axis=-1)
 
 
 def project_jac(params, pts):

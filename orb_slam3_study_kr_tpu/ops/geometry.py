@@ -38,6 +38,38 @@ def triangulate_dlt(xn1, xn2, R1w, t1w, R2w, t2w):
     return Xh[..., :3] / safe_w[..., None]
 
 
+def triangulate_rays(b1, b2, R1w, t1w, R2w, t2w):
+    """Batched triangulation from bearing RAYS (fisheye-safe).
+
+    Unlike `triangulate_dlt` (which uses plane coordinates x/z, y/z and
+    degenerates for rays near or beyond 90 degrees off-axis), this builds
+    the full cross-product constraint [b]_x (R X + t) = 0 per camera —
+    3 rows of rank 2 each, valid for any bearing direction — and solves the
+    stacked (6, 4) homogeneous system by SVD.  This is the TPU-native
+    equivalent of KannalaBrandt8::TriangulateMatches' DLT
+    (/root/reference/src/CameraModels/KannalaBrandt8.cpp:Triangulate).
+
+    Args:
+      b1, b2: (..., 3) bearing vectors (need not be unit or z=1).
+      R1w, t1w / R2w, t2w: world->camera poses (broadcastable).
+
+    Returns (..., 3) world points.
+    """
+    P1 = jnp.concatenate([R1w, t1w[..., None]], axis=-1)  # (..., 3, 4)
+    P2 = jnp.concatenate([R2w, t2w[..., None]], axis=-1)
+    b1n = b1 / jnp.maximum(jnp.linalg.norm(b1, axis=-1, keepdims=True), 1e-12)
+    b2n = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-12)
+    A = jnp.concatenate([
+        jnp.einsum("...ij,...jk->...ik", hat(b1n), P1),
+        jnp.einsum("...ij,...jk->...ik", hat(b2n), P2),
+    ], axis=-2)  # (..., 6, 4)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    Xh = Vt[..., 3, :]
+    w = Xh[..., 3]
+    safe_w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    return Xh[..., :3] / safe_w[..., None]
+
+
 def essential_from_pose(R12, t12):
     """E such that x2n^T E x1n = 0 for relative pose (R12, t12) mapping cam2
     coords into cam1: E = [t]_x R with (R, t) = cam1<-cam2... Convention:

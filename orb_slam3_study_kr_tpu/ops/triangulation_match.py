@@ -3,9 +3,17 @@
 Replaces ORBmatcher::SearchForTriangulation + the gating core of
 LocalMapping::CreateNewMapPoints (/root/reference/src/LocalMapping.cc:398):
 one masked Hamming problem per keyframe pair (epipolar distance gate in
-place of the BoW node walk), one batched DLT triangulation, and the
+place of the BoW node walk), one batched ray triangulation, and the
 reference's acceptance gates (parallax, cheirality, reprojection chi2
 5.991 x sigma2, scale-band consistency) as masks.
+
+Camera-generic: observations enter as raw pixel coords `uv` PLUS bearing
+vectors `b` (unprojected rays), and reprojection runs through `project_fn`
+— so the same op serves ideal-pinhole and Kannala-Brandt fisheye frames
+(where the reference special-cases via GeometricCamera::epipolarConstrain
+and KannalaBrandt8::TriangulateMatches, KannalaBrandt8.cpp).  The epipolar
+pre-gate is the bearing-plane distance scaled to pixel units by `focal`;
+rays beyond 90 degrees off-axis remain valid.
 """
 
 import functools
@@ -13,47 +21,48 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from orb_slam3_study_kr_tpu.ops.geometry import triangulate_dlt
+from orb_slam3_study_kr_tpu.ops.geometry import triangulate_rays
 from orb_slam3_study_kr_tpu.ops.matching import BIG, TH_LOW, hamming_matrix
 from orb_slam3_study_kr_tpu.lie.so3 import hat
 
 CHI2_MONO = 5.991
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("project_fn",))
 def match_and_triangulate(
-    R1, t1, R2, t2, K,
-    uv1, level1, desc1, free1,
-    uv2, level2, desc2, free2,
+    R1, t1, R2, t2, project_fn, focal,
+    uv1, b1, level1, desc1, free1,
+    uv2, b2, level2, desc2, free2,
     angle1=None, angle2=None,
     scale_factor=1.2,
     epi_chi2=3.84,
     nn_ratio=0.9,
 ):
-    """Match free keypoints of KF1 against KF2 along epipolar lines and
+    """Match free keypoints of KF1 against KF2 along epipolar planes and
     triangulate the accepted pairs.
 
-    All uv are undistorted pixels.  Returns dict with per-kp1 arrays:
+    Args:
+      project_fn: camera-frame points (..., 3) -> pixels (..., 2).
+      focal: scalar focal length used to express angular epipolar distance
+        in pixel-equivalent units for the chi2 gate.
+      uv1, uv2: (N, 2) pixel coords in the native image (raw for fisheye).
+      b1, b2: (N, 3) bearing vectors for each keypoint.
+
+    Returns dict with per-kp1 arrays:
       idx2 (N1,), matched (N1,), X (N1, 3) world points, good (N1,).
     """
-    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    b1n = b1 / jnp.maximum(jnp.linalg.norm(b1, axis=-1, keepdims=True), 1e-12)
+    b2n = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-12)
 
-    # Fundamental F12 with x1^T F x2 = 0 (GeometricTools::ComputeF12).
+    # Essential matrix with b1^T E b2 = 0 (GeometricTools::ComputeF12 core).
     R12 = R1 @ R2.T
     t12 = t1 - R12 @ t2
     E = hat(t12) @ R12
-    Kinv = jnp.linalg.inv(K)
-    F12 = Kinv.T @ E @ Kinv
-
-    ones1 = jnp.ones_like(uv1[:, :1])
-    ones2 = jnp.ones_like(uv2[:, :1])
-    x1h = jnp.concatenate([uv1, ones1], axis=-1)
-    x2h = jnp.concatenate([uv2, ones2], axis=-1)
-    # Epipolar line of each kp1 in image 2: l2 = F12^T x1.
-    l2 = x1h @ F12  # (N1, 3)
-    num = jnp.einsum("ac,bc->ab", l2, x2h)  # (N1, N2) line-point products
-    den = l2[:, 0] ** 2 + l2[:, 1] ** 2
-    d2 = num * num / jnp.maximum(den[:, None], 1e-12)
+    # Epipolar plane normal of each kp1 in camera 2: l2 = E^T b1.
+    l2 = b1n @ E  # (N1, 3)
+    l2 = l2 / jnp.maximum(jnp.linalg.norm(l2, axis=-1, keepdims=True), 1e-12)
+    sin_d = jnp.einsum("ac,bc->ab", l2, b2n)  # (N1, N2) sine of plane dist
+    d2 = (focal * focal) * sin_d * sin_d      # pixel-equivalent squared
     sigma2_2 = scale_factor ** (2.0 * level2.astype(jnp.float32))
     epi_ok = d2 < epi_chi2 * sigma2_2[None, :]
 
@@ -72,11 +81,9 @@ def match_and_triangulate(
         from orb_slam3_study_kr_tpu.ops.matching import rotation_consistency
         matched = rotation_consistency(angle1, angle2, idx2, matched)
 
-    # Triangulate matched pairs in normalized coords.
-    xn1 = jnp.stack([(uv1[:, 0] - cx) / fx, (uv1[:, 1] - cy) / fy], axis=-1)
-    uv2m = uv2[idx2]
-    xn2 = jnp.stack([(uv2m[:, 0] - cx) / fx, (uv2m[:, 1] - cy) / fy], axis=-1)
-    X = triangulate_dlt(xn1, xn2, R1[None], t1[None], R2[None], t2[None])
+    # Triangulate matched pairs from rays (fisheye-safe DLT).
+    b2m = b2n[idx2]
+    X = triangulate_rays(b1n, b2m, R1[None], t1[None], R2[None], t2[None])
 
     # Gates of CreateNewMapPoints:
     c1 = -R1.T @ t1
@@ -88,17 +95,14 @@ def match_and_triangulate(
     cos_par = jnp.sum(r1v * r2v, axis=-1) / jnp.maximum(n1 * n2, 1e-12)
     p1 = jnp.einsum("ij,nj->ni", R1, X) + t1
     p2 = jnp.einsum("ij,nj->ni", R2, X) + t2
-    z_ok = (p1[:, 2] > 0) & (p2[:, 2] > 0)
+    # Cheirality along the observed ray (for pinhole this is z > 0; for
+    # fisheye it stays correct past 90 degrees off-axis).
+    z_ok = (jnp.sum(p1 * b1n, axis=-1) > 0) & (jnp.sum(p2 * b2m, axis=-1) > 0)
 
-    def reproj_err2(p, uv):
-        zz = jnp.maximum(p[:, 2], 1e-9)
-        u = fx * p[:, 0] / zz + cx
-        v = fy * p[:, 1] / zz + cy
-        return (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
-
+    uv2m = uv2[idx2]
+    e1 = jnp.sum((project_fn(p1) - uv1) ** 2, axis=-1)
+    e2 = jnp.sum((project_fn(p2) - uv2m) ** 2, axis=-1)
     sigma2_1 = scale_factor ** (2.0 * level1.astype(jnp.float32))
-    e1 = reproj_err2(p1, uv1)
-    e2 = reproj_err2(p2, uv2m)
     reproj_ok = (e1 < CHI2_MONO * sigma2_1) & (e2 < CHI2_MONO * sigma2_2[idx2])
 
     # Scale consistency: distance ratio vs octave ratio within 1.5x.

@@ -26,6 +26,8 @@ class Frame:
     pyr: object = None         # (L, H, W) device blurred pyramid (transient)
     depth: np.ndarray = None  # (N,) metric depth from stereo/RGB-D, -1 = none
     u_r: np.ndarray = None    # (N,) right-image u coordinate, -1 = mono-only
+    stereo_pc: np.ndarray = None  # (N, 3) camera-frame stereo points
+    # (fisheye stereo: reference mvStereo3Dpoints, Frame.cc:1131)
     v_w: np.ndarray = None    # (3,) body velocity in world (inertial only)
     R_cw: np.ndarray = None
     t_cw: np.ndarray = None

@@ -103,7 +103,8 @@ def global_bundle_adjustment(cfg, m: MapState, n_iters: int = 10,
             jnp.asarray(X), jnp.asarray(lm_mask),
             jnp.asarray(op), jnp.asarray(ol), jnp.asarray(ouv),
             jnp.asarray(olev), jnp.asarray(omask),
-            n_iters=n_iters, assembly=assembly, **stereo_kw,
+            n_iters=n_iters, assembly=assembly,
+            wide_fov=cfg.camera_model == "kb8", **stereo_kw,
         )
         upd = kfs[fixed == 0]
         m.kf_R[upd] = np.asarray(R)[kf_index[upd]]

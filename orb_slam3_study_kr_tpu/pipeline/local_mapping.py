@@ -120,13 +120,17 @@ class LocalMapper:
                 if baseline / max(med_depth, 1e-9) < 0.01:
                     continue
             free2 = m.kf_kp_valid[nb] & (m.kf_kp_lm[nb] == NO_LM)
+            uv_a = jnp.asarray(m.kf_kp_uv[kf])
+            uv_b = jnp.asarray(m.kf_kp_uv[nb])
             out = triangulation_match.match_and_triangulate(
                 jnp.asarray(m.kf_R[kf]), jnp.asarray(m.kf_t[kf]),
                 jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]),
-                self.cfg.K,
-                jnp.asarray(m.kf_kp_uv[kf]), jnp.asarray(m.kf_kp_level[kf]),
+                self.cfg.project_fn, jnp.float32(self.cfg.focal),
+                uv_a, self.cfg.unproject_fn(uv_a),
+                jnp.asarray(m.kf_kp_level[kf]),
                 jnp.asarray(m.kf_desc[kf]), jnp.asarray(free1),
-                jnp.asarray(m.kf_kp_uv[nb]), jnp.asarray(m.kf_kp_level[nb]),
+                uv_b, self.cfg.unproject_fn(uv_b),
+                jnp.asarray(m.kf_kp_level[nb]),
                 jnp.asarray(m.kf_desc[nb]), jnp.asarray(free2),
                 angle1=jnp.asarray(m.kf_kp_angle[kf]),
                 angle2=jnp.asarray(m.kf_kp_angle[nb]),
@@ -174,7 +178,7 @@ class LocalMapper:
                     [a, np.full((L - a.shape[0], *a.shape[1:]), fill, a.dtype)]
                 )
 
-            lm_slot, ok, _ = track_match.match_local_map(
+            lm_slot, ok, _ = track_match.match_local_map_auto(
                 cfg.project_fn, jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]),
                 jnp.asarray(pad(m.lm_pos[cand])),
                 jnp.asarray(pad(m.lm_normal[cand])),
@@ -186,6 +190,7 @@ class LocalMapper:
                 jnp.asarray(m.kf_desc[nb]),
                 jnp.asarray(m.kf_kp_valid[nb]),
                 cfg.width, cfg.height, th=3.0, max_dist=50.0,
+                max_theta_deg=cfg.max_theta_deg,
             )
             lm_slot = np.asarray(lm_slot)
             ok = np.asarray(ok)
@@ -338,6 +343,7 @@ class LocalMapper:
             jnp.asarray(op), jnp.asarray(ol), jnp.asarray(ouv),
             jnp.asarray(olev), jnp.asarray(omask),
             n_iters=self.ba_iters,
+            wide_fov=cfg.camera_model == "kb8",
             **stereo_kw,
         )
         upd = window[fixed[: window.size] == 0]

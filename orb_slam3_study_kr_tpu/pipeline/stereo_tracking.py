@@ -90,11 +90,7 @@ class StereoTracker(MonoTracker):
 
     # ------------------------------------------------------------------
     def _backproject(self, frame, sel):
-        cfg = self.cfg
-        z = frame.depth[sel]
-        x = (frame.uv[sel, 0] - cfg.cx) / cfg.fx * z
-        y = (frame.uv[sel, 1] - cfg.cy) / cfg.fy * z
-        pc = np.stack([x, y, z], -1).astype(np.float32)
+        pc = self._cheap_depth_points(frame, sel)
         # camera -> world
         R, t = frame.R_cw, frame.t_cw
         return (pc - t) @ R  # R^T (pc - t)
@@ -128,6 +124,15 @@ class StereoTracker(MonoTracker):
         if self.local_mapper is not None:
             self.local_mapper.note_new_keyframe(kf)
 
+    def _cheap_depth_points(self, frame, sel):
+        """Camera-frame 3-D of the selected stereo points (overridden for
+        fisheye, where depth alone does not determine the point)."""
+        cfg = self.cfg
+        z = frame.depth[sel]
+        x = (frame.uv[sel, 0] - cfg.cx) / cfg.fx * z
+        y = (frame.uv[sel, 1] - cfg.cy) / cfg.fy * z
+        return np.stack([x, y, z], -1).astype(np.float32)
+
     def _create_keyframe(self, frame: Frame):
         """Mono keyframe creation plus the stereo branch: unbound close
         points become landmarks immediately (CreateNewKeyFrame,
@@ -154,3 +159,80 @@ class StereoTracker(MonoTracker):
         frame.kp_lm[sel] = lm_ids
         if self.local_mapper is not None:
             self.local_mapper.recent.extend((int(l), kf) for l in lm_ids)
+
+
+class FisheyeStereoTracker(StereoTracker):
+    """Non-rectified KB8 fisheye stereo rig (the TUM-VI configuration).
+
+    Replaces the KannalaBrandt8 branch of Frame/Tracking
+    (ComputeStereoFishEyeMatches, Frame.cc:1131): left/right keypoints are
+    matched by descriptor under the epipolar-plane gate of the known
+    extrinsic and triangulated from bearing rays; accepted points carry a
+    full camera-frame 3-D point (mvStereo3Dpoints) instead of a rectified
+    disparity, and metric scale enters the map through those landmarks.
+    BA residuals stay per-camera KB8 reprojections (cfg.bf must be 0 — the
+    rectified u_r residual row has no meaning here).
+
+    Args:
+      cfg: left-camera TrackerConfig with camera_model="kb8".
+      cfg_right: right-camera TrackerConfig (defaults to the left's).
+      R_rl, t_rl: pose of the left camera in the right camera frame
+        (p_r = R_rl p_l + t_rl; the reference stores Tlr and inverts).
+    """
+
+    def __init__(self, cfg: TrackerConfig, slam_map, R_rl=None, t_rl=None,
+                 cfg_right: TrackerConfig = None, baseline=None,
+                 depth_factor=40.0, **kw):
+        if cfg.camera_model != "kb8":
+            raise ValueError("FisheyeStereoTracker requires camera_model='kb8'")
+        if cfg.bf != 0.0:
+            raise ValueError("fisheye stereo uses per-camera residuals; "
+                             "set cfg.bf = 0")
+        self.cfg_right = cfg_right or cfg
+        self.R_rl = np.eye(3, dtype=np.float32) if R_rl is None else \
+            np.asarray(R_rl, np.float32)
+        self.t_rl = (np.array([-0.11, 0, 0], np.float32) if t_rl is None
+                     else np.asarray(t_rl, np.float32))
+        if baseline is None:
+            baseline = float(np.linalg.norm(self.t_rl))
+        super().__init__(cfg, slam_map, baseline=baseline,
+                         depth_factor=depth_factor, **kw)
+
+    # ------------------------------------------------------------------
+    def process_stereo(self, img_left, img_right, timestamp) -> Frame:
+        from orb_slam3_study_kr_tpu.ops import fisheye_stereo
+        cfg, cfg_r = self.cfg, self.cfg_right
+        with self.timers.stage("track/extract"):
+            frame = self._extract_frame(img_left, timestamp)
+            fR = orb.extract_orb(jnp.asarray(img_right, jnp.float32),
+                                 cfg_r.orb_config)
+        with self.timers.stage("track/stereo_match"):
+            b_l = cfg.unproject_fn(jnp.asarray(frame.uv))
+            b_r = cfg_r.unproject_fn(fR.uv)
+            out = fisheye_stereo.match_stereo_fisheye(
+                cfg.project_fn, cfg_r.project_fn, jnp.float32(cfg.focal),
+                jnp.asarray(self.R_rl), jnp.asarray(self.t_rl),
+                jnp.asarray(frame.uv), b_l, jnp.asarray(frame.level),
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                jnp.asarray(frame.angle),
+                fR.uv, b_r, fR.level, fR.desc, fR.valid, fR.angle,
+            )
+        ok = np.asarray(out["ok"])
+        frame.stereo_pc = np.asarray(out["X"], np.float32)
+        frame.depth = np.where(ok, np.asarray(out["depth"]), -1.0).astype(
+            np.float32)
+        frame.u_r = np.full(frame.uv.shape[0], -1.0, np.float32)
+
+        if self.state == TrackState.NOT_INITIALIZED:
+            with self.timers.stage("track/initialize"):
+                self._stereo_initialization(frame)
+        else:
+            with self.timers.stage("track/track"):
+                self._track(frame)
+
+        self._record_trajectory(frame)
+        self.last_frame = frame
+        return frame
+
+    def _cheap_depth_points(self, frame, sel):
+        return frame.stereo_pc[sel].astype(np.float32)

@@ -43,14 +43,20 @@ class TrackerConfig:
     dist: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)  # k1 k2 p1 p2 k3
     # Lens model ("pinhole" | "kb8").  For "kb8" (Kannala-Brandt fisheye,
     # reference src/CameraModels/KannalaBrandt8.cpp) `dist` holds k1..k4 and
-    # detected keypoints are unprojected through the fisheye model onto a
-    # virtual ideal-pinhole image (focal chosen so fov_max_deg fits the
-    # frame); every downstream stage (matching gates, pose/BA solvers,
-    # two-view init, triangulation) then runs unchanged on ideal
-    # coordinates.  Keypoints beyond fov_max_deg off-axis are dropped — the
-    # tradeoff vs. the reference's in-model projection edges.
+    # the pipeline is FISHEYE-NATIVE: keypoints stay in raw fisheye pixels,
+    # project_fn/project_jac_fn are the KB8 model (so matching gates,
+    # pose-only GN, and every BA edge project in-model — the role of
+    # ORBmatcher's pCamera->project and OptimizableTypes.h:31-117), and
+    # triangulation runs on unprojected bearing rays (fisheye-safe DLT,
+    # KannalaBrandt8::TriangulateMatches).  Features arbitrarily far
+    # off-axis — past 90 deg on a 195-deg TUM-VI lens — contribute
+    # everywhere.  Only the monocular two-view bootstrap restricts itself
+    # to the central fov_max_deg cone (it maps those bearings onto a
+    # virtual pinhole for the planar H/F machinery); after init the cone
+    # plays no role.
     camera_model: str = "pinhole"
-    fov_max_deg: float = 75.0
+    fov_max_deg: float = 75.0       # mono-bootstrap central cone (kb8 only)
+    fisheye_half_fov_deg: float = 98.0  # lens half-FOV visibility limit (kb8)
     fps: float = 20.0
     n_features: int = 1000
     min_init_matches: int = 100
@@ -117,11 +123,42 @@ class TrackerConfig:
 
     @functools.cached_property
     def project_fn(self):
+        if self.camera_model == "kb8":
+            from orb_slam3_study_kr_tpu.cameras import kb8
+            return functools.partial(kb8.project, self.cam_params)
         return functools.partial(pinhole.project, self.ideal_params)
 
     @functools.cached_property
     def project_jac_fn(self):
+        if self.camera_model == "kb8":
+            from orb_slam3_study_kr_tpu.cameras import kb8
+            return functools.partial(kb8.project_jac, self.cam_params)
         return functools.partial(pinhole.project_jac, self.ideal_params)
+
+    @functools.cached_property
+    def unproject_fn(self):
+        """Frame pixel coords -> bearing rays (matches the coordinate
+        convention of frame.uv: raw fisheye pixels for kb8, ideal
+        undistorted pixels for pinhole)."""
+        if self.camera_model == "kb8":
+            from orb_slam3_study_kr_tpu.cameras import kb8
+            return functools.partial(kb8.unproject, self.cam_params)
+        return functools.partial(pinhole.unproject, self.ideal_params)
+
+    @property
+    def max_theta_deg(self):
+        """Off-axis visibility limit for projection gates (None = pinhole
+        z > 0 frustum)."""
+        if self.camera_model == "kb8":
+            return float(self.fisheye_half_fov_deg)
+        return None
+
+    @property
+    def focal(self):
+        """Representative focal length (pixel units) for angular gates."""
+        if self.camera_model == "kb8":
+            return float(self.fx)
+        return float(np.asarray(self.ideal_params)[0])
 
 
 @jax.jit
@@ -131,18 +168,29 @@ def _undistort(cam_params, ideal_params, uv):
 
 
 @jax.jit
-def _undistort_kb8(cam_params, ideal_params, uv, fov_max_deg):
-    """Fisheye keypoints -> virtual ideal-pinhole coordinates + validity.
+def _ray_roundtrip_ok(cam_params, uv):
+    """KB8 unprojection validity: Newton divergence / rays outside the lens
+    model fail to reproject onto the source pixel."""
+    from orb_slam3_study_kr_tpu.cameras import kb8
+    rays = kb8.unproject(cam_params, uv)
+    uv_back = kb8.project(cam_params, rays)
+    err = jnp.linalg.norm(uv_back - uv, axis=-1)
+    return err < 0.5
 
-    Validity = round-trip consistency (Newton divergence / mirrored rays
-    beyond 90 deg fail to reproject onto the source pixel) and the FOV gate."""
+
+@jax.jit
+def _kb8_central_virtual(cam_params, ideal_params, uv, fov_max_deg):
+    """Fisheye keypoints -> virtual ideal-pinhole coordinates + centrality
+    mask, used ONLY by the monocular two-view bootstrap (the H/F RANSAC
+    machinery wants planar pinhole coordinates)."""
     from orb_slam3_study_kr_tpu.cameras import kb8
     rays = kb8.unproject(cam_params, uv)
     uv_ideal = pinhole.project(ideal_params, rays)
     uv_back = kb8.project(cam_params, rays)
     err = jnp.linalg.norm(uv_back - uv, axis=-1)
-    r = jnp.linalg.norm(rays[..., :2], axis=-1)
-    ok = (err < 0.5) & (r < jnp.tan(jnp.radians(fov_max_deg)))
+    theta = jnp.arctan2(jnp.linalg.norm(rays[..., :2], axis=-1),
+                        rays[..., 2])
+    ok = (err < 0.5) & (theta < jnp.radians(fov_max_deg))
     return uv_ideal, ok
 
 
@@ -165,6 +213,7 @@ class MonoTracker:
         self.relocalizer = relocalizer          # callable(frame) -> bool
         self.on_tracking_lost = on_tracking_lost  # callable() -> None
         self.lost_counter = 0
+        self.last_ok_ts = None  # timestamp of the last OK-tracked frame
         self.state = TrackState.NOT_INITIALIZED
         self.init_ref: Frame | None = None
         self.last_frame: Frame | None = None
@@ -201,10 +250,13 @@ class MonoTracker:
         uv_raw = np.array(feats.uv)
         valid = np.asarray(feats.valid)
         if cfg.camera_model == "kb8":
-            uv_und, ray_ok = _undistort_kb8(
-                cfg.cam_params, cfg.ideal_params, feats.uv,
-                jnp.float32(cfg.fov_max_deg))
-            uv_und = np.array(uv_und)
+            # Fisheye-native: keypoints stay in raw fisheye pixels (the
+            # KB8 project_fn consumes/produces the same coordinates).
+            # Validity only drops rays whose Newton unprojection fails to
+            # round-trip (degenerate beyond the lens model) — NOT an FOV
+            # crop; >90 deg off-axis keypoints remain live.
+            ray_ok = _ray_roundtrip_ok(cfg.cam_params, feats.uv)
+            uv_und = uv_raw
             valid = valid & np.asarray(ray_ok)
         else:
             uv_und = np.array(
@@ -261,8 +313,22 @@ class MonoTracker:
             return
         self._key, sub = jax.random.split(self._key)
         uv2 = frame.uv[idx]
+        uv1_init, uv2_init = ref.uv, uv2
+        if cfg.camera_model == "kb8":
+            # Bootstrap on the central cone mapped to a virtual pinhole
+            # (same camera center, so pts3d stay in true camera-1 coords).
+            uv1_init, ok1 = _kb8_central_virtual(
+                cfg.cam_params, cfg.ideal_params, jnp.asarray(ref.uv),
+                jnp.float32(cfg.fov_max_deg))
+            uv2_init, ok2 = _kb8_central_virtual(
+                cfg.cam_params, cfg.ideal_params, jnp.asarray(uv2),
+                jnp.float32(cfg.fov_max_deg))
+            ok = ok & np.asarray(ok1) & np.asarray(ok2)
+            if ok.sum() < cfg.min_init_matches:
+                self.init_ref = frame
+                return
         out = reconstruct_two_views(
-            sub, jnp.asarray(ref.uv), jnp.asarray(uv2),
+            sub, jnp.asarray(uv1_init), jnp.asarray(uv2_init),
             jnp.asarray(ok.astype(np.float32)), self.cfg.K,
         )
         if not bool(out["success"]):
@@ -334,6 +400,7 @@ class MonoTracker:
             jnp.asarray(m.kf_kp_level[okf, okp]),
             jnp.ones(O),
             n_iters=20,
+            wide_fov=cfg.camera_model == "kb8",
         )
         m.kf_R[[kf0, kf1]] = np.asarray(R)
         m.kf_t[[kf0, kf1]] = np.asarray(t)
@@ -344,6 +411,19 @@ class MonoTracker:
         if med > 0:
             m.lm_pos[lm_set] /= med
             m.kf_t[[kf0, kf1]] /= med
+
+    # ------------------------------------------------------------------
+    def _lost_pose_estimate(self, frame: Frame):
+        """Pose guess for a frame that failed to track: keep the last pose
+        so the next frame can try again (the visual-only behavior)."""
+        frame.R_cw = self.last_frame.R_cw
+        frame.t_cw = self.last_frame.t_cw
+        frame.pose_ok = False
+
+    def _lost_deadline_passed(self, frame: Frame) -> bool:
+        """True when RECENTLY_LOST should escalate to LOST (visual-only:
+        about one second of consecutive failures)."""
+        return self.lost_counter > self.cfg.fps
 
     # ------------------------------------------------------------------
     def _track(self, frame: Frame):
@@ -366,14 +446,13 @@ class MonoTracker:
             self.state = TrackState.RECENTLY_LOST
             self.stats["track_fail"] += 1
             self.lost_counter += 1
-            # Keep last pose as a guess so the next frame can try again.
-            frame.R_cw = self.last_frame.R_cw
-            frame.t_cw = self.last_frame.t_cw
-            frame.pose_ok = False
+            # Pose guess while lost: last pose (inertial trackers override
+            # with IMU dead-reckoning, Tracking.cc:2000-2012).
+            self._lost_pose_estimate(frame)
             self.velocity = None
             # Sustained loss: hand control to the Atlas (new map spawn /
             # reset — Tracking.cc:2028-2046 CreateMapInAtlas).
-            if (self.lost_counter > self.cfg.fps
+            if (self._lost_deadline_passed(frame)
                     and self.on_tracking_lost is not None):
                 self.state = TrackState.LOST
                 self.on_tracking_lost()
@@ -433,6 +512,7 @@ class MonoTracker:
         self.state = TrackState.OK
         frame.pose_ok = True
         frame.ref_kf = self.ref_kf
+        self.last_ok_ts = frame.timestamp
         # Velocity model update.
         Rl, tl = self.last_frame.R_cw, self.last_frame.t_cw
         Rlw_inv, tlw_inv = se3.se3_inverse(jnp.asarray(Rl), jnp.asarray(tl))
@@ -477,7 +557,7 @@ class MonoTracker:
             normal = _pad_rows(m.lm_normal[lm_ids], L)
             min_d = _pad_rows(m.lm_min_dist[lm_ids], L)
             max_d = _pad_rows(m.lm_max_dist[lm_ids], L)
-        lm_slot, ok, visible = track_match.match_local_map(
+        lm_slot, ok, visible = track_match.match_local_map_auto(
             cfg.project_fn, jnp.asarray(R_pred), jnp.asarray(t_pred),
             jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(min_d),
             jnp.asarray(max_d), jnp.asarray(desc), jnp.asarray(mask),
@@ -485,6 +565,7 @@ class MonoTracker:
             jnp.asarray(frame.desc), jnp.asarray(frame.valid),
             cfg.width, cfg.height, th=th,
             level_slack=7 if wide_gates else 1,
+            max_theta_deg=cfg.max_theta_deg,
         )
         lm_slot = np.asarray(lm_slot)
         ok = np.asarray(ok)
@@ -540,10 +621,7 @@ class MonoTracker:
             du = uv_ref[:, 0] - frame.uv_raw[:, 0]
             frame.uv_raw[good] = uv_ref[good]
             if cfg.camera_model == "kb8":
-                und, _ = _undistort_kb8(cfg.cam_params, cfg.ideal_params,
-                                        jnp.asarray(uv_ref),
-                                        jnp.float32(cfg.fov_max_deg))
-                und = np.asarray(und)
+                und = uv_ref  # fisheye-native frames keep raw pixel coords
             else:
                 und = np.asarray(_undistort(cfg.cam_params, cfg.ideal_params,
                                             jnp.asarray(uv_ref)))
@@ -578,6 +656,7 @@ class MonoTracker:
             jnp.asarray(R0), jnp.asarray(t0),
             jnp.asarray(X), jnp.asarray(frame.uv),
             jnp.asarray(frame.level), jnp.asarray(mask.astype(np.float32)),
+            wide_fov=cfg.camera_model == "kb8",
             **stereo_kw,
         )
         inl = np.asarray(inl) & mask

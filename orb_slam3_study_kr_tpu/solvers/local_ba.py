@@ -101,7 +101,7 @@ def _schur_pcg(Hpp_d, bp, Hll_inv, bl, E, obs_pose, obs_lm, fixed, n_cg,
 @functools.partial(
     jax.jit,
     static_argnames=("project_fn", "project_jac_fn", "n_iters", "use_huber",
-                     "assembly", "n_cg"),
+                     "assembly", "n_cg", "wide_fov"),
 )
 def bundle_adjust(
     project_fn, project_jac_fn,
@@ -114,6 +114,7 @@ def bundle_adjust(
     obs_ur=None, bf=None,
     assembly: str = "dense",      # "dense" | "pcg"
     n_cg: int = 60,
+    wide_fov: bool = False,       # fisheye: |p| > 0 cheirality, not z > 0
 ):
     """Returns (R_cw, t_cw, X, final_chi2 (O,), final_cost).
 
@@ -146,7 +147,9 @@ def bundle_adjust(
             ur_obs=obs_ur, bf=bf,
         )
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-        valid = obs_mask * lm_mask[obs_lm] * (p[:, 2] > 1e-3)
+        cheir = (jnp.linalg.norm(p, axis=-1) > 1e-3) if wide_fov \
+            else (p[:, 2] > 1e-3)
+        valid = obs_mask * lm_mask[obs_lm] * cheir
         w = inv_sigma2 * valid
         if use_huber:
             w = w * robust.huber_weight(chi2, huber_delta)

@@ -19,18 +19,21 @@ from orb_slam3_study_kr_tpu.solvers.pose_opt import optimize_pose
 CHI2_2D = 5.991
 
 
-def _dlt_pose(X, xn):
-    """P (3,4) from >= 6 points: X (..., m, 3) world, xn (..., m, 2)
-    normalized image coords."""
+def _dlt_pose(X, b):
+    """P (3,4) from >= 6 points: X (..., m, 3) world, b (..., m, 3)
+    bearing vectors (for pinhole, (xn, yn, 1)).  Rows are the bearing
+    cross-product constraints, valid past 90 degrees off-axis."""
     m = X.shape[-2]
     ones = jnp.ones_like(X[..., :1])
     Xh = jnp.concatenate([X, ones], axis=-1)  # (..., m, 4)
     z = jnp.zeros_like(Xh)
-    u = xn[..., 0:1]
-    v = xn[..., 1:2]
-    rows_u = jnp.concatenate([Xh, z, -u * Xh], axis=-1)  # (..., m, 12)
-    rows_v = jnp.concatenate([z, Xh, -v * Xh], axis=-1)
-    A = jnp.concatenate([rows_u, rows_v], axis=-2)  # (..., 2m, 12)
+    bx = b[..., 0:1]
+    by = b[..., 1:2]
+    bz = b[..., 2:3]
+    rows_u = jnp.concatenate([bz * Xh, z, -bx * Xh], axis=-1)  # (..., m, 12)
+    rows_v = jnp.concatenate([z, bz * Xh, -by * Xh], axis=-1)
+    rows_w = jnp.concatenate([-by * Xh, bx * Xh, z], axis=-1)
+    A = jnp.concatenate([rows_u, rows_v, rows_w], axis=-2)  # (..., 3m, 12)
     _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
     P = Vt[..., 11, :].reshape(*A.shape[:-2], 3, 4)
     # Fix sign/scale so that det(R) > 0 and points are in front.
@@ -49,28 +52,40 @@ def _dlt_pose(X, xn):
 def ransac_pnp(
     key, project_fn, project_jac_fn, K,
     X, uv, level, mask,
+    bearings=None,
     iters=256, min_inliers=15,
 ):
     """Pose from 2D-3D matches with no prior (Relocalization's solver).
 
-    X (N, 3) world points, uv (N, 2) undistorted pixels.  Returns
+    X (N, 3) world points, uv (N, 2) pixels in project_fn's convention.
+    `bearings` (N, 3): optional unprojected rays for the minimal DLT and
+    cheirality — REQUIRED for non-pinhole models (KB8 fisheye, where the
+    reference's MLPnP likewise works on unprojected bearings,
+    MLPnPsolver.cpp); defaults to pinhole normalization by K.  Hypothesis
+    scoring projects through `project_fn`.  Returns
     dict(R, t, inliers, n_inliers, success)."""
     n = X.shape[0]
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-    xn = jnp.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], -1)
+    if bearings is None:
+        xn = jnp.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], -1)
+        bearings = jnp.concatenate([xn, jnp.ones_like(xn[:, :1])], -1)
+    b = bearings / jnp.maximum(
+        jnp.linalg.norm(bearings, axis=-1, keepdims=True), 1e-12)
 
     u = jax.random.uniform(key, (iters, n))
     u = jnp.where(mask[None, :] > 0, u, 2.0)
     sets = jnp.argsort(u, axis=1)[:, :6]
 
-    R_h, t_h = _dlt_pose(X[sets], xn[sets])  # (T, 3, 3), (T, 3)
+    R_h, t_h = _dlt_pose(X[sets], b[sets])  # (T, 3, 3), (T, 3)
 
     p = jnp.einsum("tij,nj->tni", R_h, X) + t_h[:, None, :]
-    z = jnp.maximum(p[..., 2], 1e-6)
-    uvp = jnp.stack([fx * p[..., 0] / z + cx, fy * p[..., 1] / z + cy], -1)
+    uvp = project_fn(p)
     err = jnp.sum((uvp - uv[None]) ** 2, -1)
     sigma2 = 1.2 ** (2.0 * level.astype(jnp.float32))
-    inl = (err < CHI2_2D * sigma2[None]) & (p[..., 2] > 0) & (mask[None] > 0)
+    # Cheirality along the observed bearing (z > 0 for pinhole; stays
+    # valid past 90 deg off-axis for fisheye).
+    cheir = jnp.einsum("tni,ni->tn", p, b) > 0
+    inl = (err < CHI2_2D * sigma2[None]) & cheir & (mask[None] > 0)
     counts = jnp.sum(inl, axis=1)
     best = jnp.argmax(counts)
 

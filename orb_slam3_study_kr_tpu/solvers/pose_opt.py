@@ -23,12 +23,13 @@ N_ROUNDS = 4
 ITERS_PER_ROUND = 10
 
 
-@functools.partial(jax.jit, static_argnames=("project_fn", "project_jac_fn"))
+@functools.partial(jax.jit, static_argnames=("project_fn", "project_jac_fn",
+                                             "wide_fov"))
 def optimize_pose(
     project_fn, project_jac_fn,
     R_cw, t_cw, X, uv_obs, level, mask,
     damping=1e-3,
-    ur_obs=None, bf=None,
+    ur_obs=None, bf=None, wide_fov=False,
 ):
     """Optimize one camera pose against fixed landmarks.
 
@@ -44,6 +45,10 @@ def optimize_pose(
         mono-only row); bf = fx * baseline.  Adds the reference's stereo
         residual (PoseOptimization's EdgeStereoSE3ProjectXYZOnlyPose) with
         the 3-dof chi2 gate 7.815 on those observations.
+      wide_fov: True for fisheye frames — replaces the z > 0 cheirality
+        gate with |p| > 0 so observations past 90 deg off-axis keep their
+        weight (the reference's fisheye BA edges project in-model the same
+        way, OptimizableTypes.h:31-117).
 
     Returns (R, t, inlier_mask (N,) bool, n_inliers).
     """
@@ -73,8 +78,11 @@ def optimize_pose(
             w = w * jnp.where(
                 use_huber > 0, robust.huber_weight(chi2, huber_delta), 1.0
             )
-            # Observations behind the camera contribute nothing.
-            w = w * (p[:, 2] > 1e-3)
+            # Degenerate observations contribute nothing (behind a
+            # pinhole camera / at a fisheye camera's center).
+            cheir = (jnp.linalg.norm(p, axis=-1) > 1e-3) if wide_fov \
+                else (p[:, 2] > 1e-3)
+            w = w * cheir
             H = jnp.einsum("nia,n,nib->ab", J_pose, w, J_pose)
             b = jnp.einsum("nia,n,ni->a", J_pose, w, r)
             H = H + damping * jnp.eye(6, dtype=H.dtype)
@@ -95,7 +103,9 @@ def optimize_pose(
         # flips outliers back in if they re-pass).
         r, _, _, p = residuals(R, t)
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-        inlier = ((chi2 <= chi2_gate) & (p[:, 2] > 1e-3)).astype(R.dtype)
+        cheir = (jnp.linalg.norm(p, axis=-1) > 1e-3) if wide_fov \
+            else (p[:, 2] > 1e-3)
+        inlier = ((chi2 <= chi2_gate) & cheir).astype(R.dtype)
         return (R, t, inlier), None
 
     init = (R_cw, t_cw, jnp.ones_like(mask))

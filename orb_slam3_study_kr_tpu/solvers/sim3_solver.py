@@ -39,11 +39,12 @@ def horn_sim3(P, Q, w=None, fix_scale=False):
     return R, t, s
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
+@functools.partial(jax.jit, static_argnames=("iters", "fix_scale",
+                                             "project_fn"))
 def ransac_sim3(
     key, P1, P2, mask, uv1, uv2, K,
     R1w=None, t1w=None, R2w=None, t2w=None,
-    iters=128, chi2_th=9.21, fix_scale=False,
+    iters=128, chi2_th=9.21, fix_scale=False, project_fn=None,
 ):
     """Sim3 S12 aligning landmark sets of two keyframes (P2 -> P1 frame).
 
@@ -52,7 +53,10 @@ def ransac_sim3(
         frame (the reference works in camera frames, Sim3Solver.cc).
       mask: (N,) valid matches.
       uv1, uv2: (N, 2) the keypoints observing them in each image.
-      K: (3, 3) intrinsics (both cameras pinhole-ideal here).
+      K: (3, 3) intrinsics; ignored when `project_fn` is given.
+      project_fn: optional camera projection (3-D camera points -> pixels)
+        for non-pinhole models (KB8 fisheye); defaults to ideal pinhole
+        from K (reference Sim3Solver uses pCamera->project likewise).
       chi2_th: reprojection gate (9.21 = 2-dof 99%).
 
     Returns dict(R12, t12, s12, inliers, n_inliers, success).
@@ -68,9 +72,13 @@ def ransac_sim3(
 
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
 
-    def project(p):
-        z = jnp.maximum(p[..., 2], 1e-6)
-        return jnp.stack([fx * p[..., 0] / z + cx, fy * p[..., 1] / z + cy], -1)
+    if project_fn is None:
+        def project(p):
+            z = jnp.maximum(p[..., 2], 1e-6)
+            return jnp.stack(
+                [fx * p[..., 0] / z + cx, fy * p[..., 1] / z + cy], -1)
+    else:
+        project = project_fn
 
     # Score: project P2 through S12 into image 1 and P1 through S21 into 2.
     P2in1 = s_h[:, None, None] * jnp.einsum("tij,nj->tni", R_h, P2) + t_h[:, None, :]
@@ -103,10 +111,11 @@ def ransac_sim3(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+@functools.partial(jax.jit, static_argnames=("n_iters", "fix_scale",
+                                             "project_fn"))
 def optimize_sim3(P1, P2, mask, uv1, uv2, K, R12, t12, s12,
                   n_iters=10, chi2_th=10.0, fix_scale=False,
-                  damping=1e-4):
+                  damping=1e-4, project_fn=None):
     """GN refinement of a Sim3 on two-sided reprojection residuals —
     Optimizer::OptimizeSim3 (/root/reference/src/Optimizer.cc:2118):
     EdgeSim3ProjectXYZ projects P2 through S12 into image 1 and
@@ -124,10 +133,13 @@ def optimize_sim3(P1, P2, mask, uv1, uv2, K, R12, t12, s12,
 
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
 
-    def project(p):
-        z = jnp.maximum(p[..., 2], 1e-6)
-        return jnp.stack([fx * p[..., 0] / z + cx,
-                          fy * p[..., 1] / z + cy], -1)
+    if project_fn is None:
+        def project(p):
+            z = jnp.maximum(p[..., 2], 1e-6)
+            return jnp.stack([fx * p[..., 0] / z + cx,
+                              fy * p[..., 1] / z + cy], -1)
+    else:
+        project = project_fn
 
     def unpack(x):
         R = R12 @ exp_so3(x[0:3])
