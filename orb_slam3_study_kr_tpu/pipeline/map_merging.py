@@ -94,6 +94,7 @@ class MapMerger:
             jnp.asarray(pad(mA.kf_kp_uv[kf, kp1])),
             jnp.asarray(pad(mB.kf_kp_uv[cand, kp2])),
             self.cfg.K, fix_scale=fix_scale,
+            project_fn=self.cfg.project_fn,
         )
         if int(out["n_inliers"]) < MIN_SIM3_INLIERS:
             return None
@@ -127,6 +128,23 @@ class MapMerger:
         R_BA = (Rc.T @ R12.T @ Rk).astype(np.float32)
         t_BA = (sigma * Rc.T @ R12.T @ (tk - t12) - Rc.T @ tc).astype(
             np.float32)
+
+        # Inertial weld (MergeLocal2, /root/reference/src/LoopClosing.cc:
+        # 1786-2069): both worlds are gravity-aligned (-z) and metric after
+        # IMU initialization, so the TRUE relative transform is a yaw-only
+        # rotation at unit scale.  Project R_BA onto a rotation about z,
+        # keeping the current keyframe's camera center on its Sim3-verified
+        # target so the weld point does not move.
+        if mA.imu_initialized and mB.imu_initialized:
+            cA = (-Rk.T @ tk).astype(np.float32)          # weld anchor in A
+            target = sigma * R_BA @ cA + t_BA
+            yaw = np.arctan2(R_BA[1, 0] - R_BA[0, 1],
+                             R_BA[0, 0] + R_BA[1, 1])
+            cy, sy = np.cos(yaw), np.sin(yaw)
+            R_BA = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]],
+                            np.float32)
+            sigma = 1.0
+            t_BA = (target - sigma * R_BA @ cA).astype(np.float32)
 
         # ---- transform map A in place (frozen rows stay consistent with
         # the merged world for trajectory replay) ----

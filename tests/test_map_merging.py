@@ -109,3 +109,32 @@ def test_merge_respects_capacity():
     assert sim3 is not None
     mB.n_kf = mB.max_kf  # no room
     assert merger.merge(mA, 0, mB, 0, sim3) is None
+
+
+def test_inertial_merge_preserves_gravity():
+    """MergeLocal2 semantics: welding two IMU-initialized (gravity-aligned,
+    metric) maps must use a yaw-only rotation at unit scale
+    (/root/reference/src/LoopClosing.cc:1786-2069), whatever small off-yaw
+    component the Sim3 RANSAC estimate carries."""
+    rng = np.random.default_rng(7)
+    cfg, mA, mB, idsA, idsB, sigma, Rg, tg = _build_pair(rng, sigma=1.0)
+    mA.imu_initialized = True
+    mB.imu_initialized = True
+    merger = MapMerger(cfg=cfg)
+
+    sim3 = merger.verify(mA, 0, mB, 0, fix_scale=True)
+    assert sim3 is not None
+    res = merger.merge(mA, 0, mB, 0, sim3)
+    assert res is not None
+    # Yaw-only about the (gravity-aligned) z axis, metric scale kept.
+    assert res.sigma == 1.0
+    R = res.R_BA
+    np.testing.assert_allclose(R[2], [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(R[:, 2], [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    # The weld still lands map A's keyframes on their map-B counterparts.
+    mBm = res.target_map
+    for a, j in res.kf_map.items():
+        cA_new = -mBm.kf_R[j].T @ mBm.kf_t[j]
+        cB_ref = -mB.kf_R[a].T @ mB.kf_t[a]  # B's own copy of the same cam
+        np.testing.assert_allclose(cA_new, cB_ref, atol=0.05)
