@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""EuRoC / TUM-VI sequence driver — the reference's example executables.
+
+Replaces /root/reference/Examples/Monocular/mono_euroc.cc:33-228 (and the
+stereo / *-inertial variants): loads one or MORE sequences, plays them
+through a single SlamSystem session — across-sequence transitions exercise
+the timestamp-jump map spawn exactly like the reference's multi-sequence
+`ChangeDataset` runs (mono_euroc.cc:173-183) — saves the TUM-format
+trajectory, and reports ATE against ground truth when the sequence ships
+it.
+
+Usage:
+  python examples/run_euroc.py --sensor mono-inertial \
+      --settings EuRoC.yaml SEQ1/mav0 [SEQ2/mav0 ...] \
+      [--out traj.txt] [--pace] [--max-frames N]
+
+With --pace, frames are delivered no faster than the camera rate (the
+reference sleeps to the next image timestamp, mono_euroc.cc:188-204);
+without it the sequence plays as fast as the pipeline tracks.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from orb_slam3_study_kr_tpu.evaluation import ate_rmse
+from orb_slam3_study_kr_tpu.io.datasets import load_euroc
+from orb_slam3_study_kr_tpu.pipeline import SlamSystem, SystemConfig
+from orb_slam3_study_kr_tpu.pipeline.tracking import TrackerConfig
+
+
+def build_system(args):
+    if args.settings:
+        from orb_slam3_study_kr_tpu.io.settings import Settings
+        st = Settings(args.settings)
+        tracker = st.tracker_config()
+        sys_kw = dict(tracker=tracker, sensor=args.sensor)
+        if args.sensor.endswith("-inertial"):
+            calib = st.imu_calib()
+            sys_kw.update(
+                imu_noise_gyro=float(calib.noise_gyro),
+                imu_noise_acc=float(calib.noise_acc),
+                imu_walk_gyro=float(calib.walk_gyro),
+                imu_walk_acc=float(calib.walk_acc),
+                imu_freq=float(calib.freq),
+                imu_R_bc=tuple(map(tuple, np.asarray(calib.R_bc))),
+                imu_t_bc=tuple(np.asarray(calib.t_bc)),
+            )
+        cfg = SystemConfig(**sys_kw)
+    else:
+        # EuRoC cam0 defaults (EuRoC.yaml).
+        cfg = SystemConfig(
+            sensor=args.sensor,
+            tracker=TrackerConfig(
+                width=752, height=480, fx=458.654, fy=457.296,
+                cx=367.215, cy=248.375,
+                dist=(-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05,
+                      0.0),
+                fps=20.0),
+        )
+    if args.vocabulary:
+        cfg.vocabulary_path = args.vocabulary
+    return SlamSystem(cfg)
+
+
+def run_sequence(slam, seq, args, inertial):
+    """Play one sequence; returns the number of frames delivered."""
+    n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
+    t_prev = None
+    for i in range(n):
+        ts = float(seq.cam0_ts[i])
+        img = seq.image(i)
+        imu = None
+        if inertial and seq.imu_ts is not None:
+            t0 = t_prev if t_prev is not None else ts - 1.0 / 200.0
+            its, gyro, acc = seq.imu_between(t0, ts)
+            dts = np.diff(np.concatenate([[t0], its]))
+            imu = np.concatenate(
+                [dts[:, None], acc, gyro], axis=1).astype(np.float32)
+        wall0 = time.perf_counter()
+        if args.sensor.startswith("stereo") and seq.cam1_files:
+            slam.track_stereo(img, seq.image(i, cam=1), ts, imu=imu)
+        else:
+            slam.track_monocular(img, ts, imu=imu)
+        if args.pace and i + 1 < n:
+            dt_data = float(seq.cam0_ts[i + 1]) - ts
+            sleep = dt_data - (time.perf_counter() - wall0)
+            if sleep > 0:
+                time.sleep(sleep)
+        t_prev = ts
+    return n
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sequences", nargs="+",
+                    help="one or more <sequence>/mav0 directories; several "
+                         "sequences run through ONE session (ChangeDataset)")
+    ap.add_argument("--sensor", default="mono",
+                    choices=["mono", "mono-inertial", "stereo",
+                             "stereo-inertial"])
+    ap.add_argument("--settings", default=None, help="calibration YAML")
+    ap.add_argument("--vocabulary", default=None,
+                    help="ORBvoc text file or cached .npz")
+    ap.add_argument("--out", default="trajectory_tum.txt")
+    ap.add_argument("--pace", action="store_true",
+                    help="deliver frames at dataset rate")
+    ap.add_argument("--max-frames", type=int, default=-1)
+    args = ap.parse_args(argv)
+
+    slam = build_system(args)
+    inertial = args.sensor.endswith("-inertial")
+
+    total, wall = 0, 0.0
+    gt_all = []
+    for si, root in enumerate(args.sequences):
+        seq = load_euroc(root)
+        print(f"[{si + 1}/{len(args.sequences)}] {root}: "
+              f"{len(seq)} frames", flush=True)
+        t0 = time.perf_counter()
+        total += run_sequence(slam, seq, args, inertial)
+        wall += time.perf_counter() - t0
+        if seq.gt_ts is not None:
+            gt_all.append((seq.gt_ts, seq.gt_pos))
+        # The next sequence's first timestamp triggers the timestamp-jump
+        # guard inside the session (Tracking.cc:1837-1865) — the reference's
+        # ChangeDataset path.
+
+    slam.save_trajectory_tum(args.out)
+    print(f"tracked {total} frames in {wall:.1f}s "
+          f"({total / max(wall, 1e-9):.1f} f/s), "
+          f"maps={len(slam.atlas.maps)}, state={slam.state.name}")
+    print(f"trajectory -> {args.out}")
+
+    if gt_all:
+        rows = slam.trajectory()
+        gt_ts = np.concatenate([g[0] for g in gt_all])
+        gt_pos = np.concatenate([g[1] for g in gt_all])
+        with_scale = args.sensor == "mono"
+        rmse, nm, _ = ate_rmse(rows[:, 0], rows[:, 1:4], gt_ts, gt_pos,
+                               with_scale=with_scale)
+        print(f"ATE RMSE {rmse:.4f} m over {nm} matched frames"
+              f"{' (scale-aligned)' if with_scale else ''}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

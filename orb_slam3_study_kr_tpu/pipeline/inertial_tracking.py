@@ -20,7 +20,8 @@ import numpy as np
 from orb_slam3_study_kr_tpu.imu import preintegration as pre_mod
 from orb_slam3_study_kr_tpu.imu.preintegration import (ImuCalib, predict_state,
                                                        preintegrate)
-from orb_slam3_study_kr_tpu.pipeline.stereo_tracking import StereoTracker
+from orb_slam3_study_kr_tpu.pipeline.stereo_tracking import (
+    FisheyeStereoTracker, StereoTracker)
 from orb_slam3_study_kr_tpu.pipeline.tracking import MonoTracker, TrackState
 from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM
 from orb_slam3_study_kr_tpu.solvers.inertial import (
@@ -137,6 +138,45 @@ class ImuMixin:
             return R_cw.astype(np.float32), t_cw.astype(np.float32)
         return super()._predict_pose()
 
+    # -------------------------------------------------- lost-mode survival
+    TIME_RECENTLY_LOST = 5.0  # s (Tracking.cc:1959 time_recently_lost)
+
+    def _lost_pose_estimate(self, frame):
+        """IMU dead-reckoning while RECENTLY_LOST (Tracking.cc:2000-2012):
+        with an initialized IMU the pose keeps integrating forward for up
+        to TIME_RECENTLY_LOST seconds, so the trajectory stays continuous
+        and relocalization / re-tracking starts from a sane prior."""
+        lf = self.last_frame
+        if (self.imu_stage > 0 and self.map.imu_initialized
+                and self._pre_frame is not None and lf is not None
+                and lf.R_cw is not None
+                and getattr(lf, "v_w", None) is not None
+                and self.last_ok_ts is not None
+                and frame.timestamp - self.last_ok_ts
+                    <= self.TIME_RECENTLY_LOST):
+            R_bc = np.asarray(self.calib.R_bc)
+            t_bc = np.asarray(self.calib.t_bc)
+            R_wb, p_wb = _body_from_cam(lf.R_cw, lf.t_cw, R_bc, t_bc)
+            R_n, p_n, v_n = predict_state(
+                jnp.asarray(R_wb), jnp.asarray(p_wb), jnp.asarray(lf.v_w),
+                self._pre_frame, jnp.asarray(self.bias))
+            R_cw, t_cw = _cam_from_body(np.asarray(R_n), np.asarray(p_n),
+                                        R_bc, t_bc)
+            frame.R_cw = R_cw.astype(np.float32)
+            frame.t_cw = t_cw.astype(np.float32)
+            frame.v_w = np.asarray(v_n, np.float32)
+            frame.pose_ok = False
+            self.stats["imu_only_frames"] = (
+                self.stats.get("imu_only_frames", 0) + 1)
+            return
+        super()._lost_pose_estimate(frame)
+
+    def _lost_deadline_passed(self, frame) -> bool:
+        if self.map.imu_initialized and self.last_ok_ts is not None:
+            return (frame.timestamp - self.last_ok_ts
+                    > self.TIME_RECENTLY_LOST)
+        return super()._lost_deadline_passed(frame)
+
     # -------------------------------------------------------- optimization
     def _optimize_frame_pose(self, frame, R0, t0):
         lf = self.last_frame
@@ -240,6 +280,17 @@ class ImuMixin:
             target = 3
         if target <= self.imu_stage:
             return
+        # Gravity-observability gate (the bad-IMU precondition of
+        # LocalMapping.cc:139-148): a stream whose accelerometer never
+        # shows ~9.8 m/s^2 cannot constrain gravity or scale — an init on
+        # it would "succeed" with all-zero residuals and poison the map.
+        recent = self._rows_between(self._first_kf_ts, frame.timestamp)
+        if recent.shape[0]:
+            acc_mag = float(np.median(np.linalg.norm(recent[:, 1:4], axis=1)))
+            if not (2.0 < acc_mag < 30.0):
+                self.stats["imu_init_rejected_acc"] = (
+                    self.stats.get("imu_init_rejected_acc", 0) + 1)
+                return
         chain = self._kf_chain()
         ts = self.map.kf_timestamp
         if self.imu_stage == 0:
@@ -634,3 +685,16 @@ class StereoInertialTracker(ImuMixin, StereoTracker):
         if frame.pose_ok and frame.v_w is None and self.imu_stage > 0:
             frame.v_w = self.map.kf_v[self.ref_kf].copy()
         return frame
+
+
+class FisheyeStereoInertialTracker(ImuMixin, FisheyeStereoTracker):
+    """KB8 fisheye stereo-inertial tracking — the TUM-VI configuration
+    (non-rectified ComputeStereoFishEyeMatches front end + fix-scale IMU
+    init; reference Examples/Stereo-Inertial/stereo_inertial_tum_vi.cc)."""
+
+    def __init__(self, cfg, slam_map, calib: ImuCalib = None,
+                 imu_init_times=(2.0, 5.0, 15.0), **kw):
+        super().__init__(cfg, slam_map, **kw)
+        self._init_imu_state(calib or ImuCalib.make(), imu_init_times)
+
+    process_stereo_inertial = StereoInertialTracker.process_stereo_inertial

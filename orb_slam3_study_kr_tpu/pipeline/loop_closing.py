@@ -33,7 +33,7 @@ import numpy as np
 
 from orb_slam3_study_kr_tpu.bow.database import KeyframeDatabase
 from orb_slam3_study_kr_tpu.ops.track_match import (match_by_descriptor,
-                                                    match_local_map)
+                                                    match_local_map_auto)
 from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM, MapState
 from orb_slam3_study_kr_tpu.solvers.pose_graph import (optimize_pose_graph,
                                                        relative_sim3)
@@ -143,7 +143,7 @@ class LoopCloser:
         lms = lms[:n]
         mask = np.zeros(MAX_WINDOW_LMS, np.float32)
         mask[:n] = 1.0
-        lm_slot, ok, _ = match_local_map(
+        lm_slot, ok, _ = match_local_map_auto(
             self.cfg.project_fn,
             jnp.asarray(R_s, jnp.float32),
             jnp.asarray(np.asarray(t_s, np.float32) / np.float32(s_s)),
@@ -156,6 +156,7 @@ class LoopCloser:
             jnp.asarray(m.kf_kp_uv[kf]), jnp.asarray(m.kf_kp_level[kf]),
             jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_kp_valid[kf]),
             self.cfg.width, self.cfg.height, th=th, max_dist=50.0,
+            max_theta_deg=self.cfg.max_theta_deg,
         )
         lm_slot = np.asarray(lm_slot)
         ok = np.asarray(ok) & (lm_slot < n)
@@ -191,6 +192,7 @@ class LoopCloser:
             self.cfg.K,
             jnp.asarray(R12, jnp.float32), jnp.asarray(t12, jnp.float32),
             jnp.asarray(s12, jnp.float32), fix_scale=self.inertial,
+            project_fn=self.cfg.project_fn,
         )
         return (np.asarray(out["R12"]), np.asarray(out["t12"]),
                 float(out["s12"]))
@@ -243,6 +245,7 @@ class LoopCloser:
             jnp.asarray(mask), jnp.asarray(_pad(uv1, N)),
             jnp.asarray(_pad(uv2, N)),
             self.cfg.K, fix_scale=self.inertial,
+            project_fn=self.cfg.project_fn,
         )
         if int(out["n_inliers"]) < self.min_ransac_inliers:
             return None

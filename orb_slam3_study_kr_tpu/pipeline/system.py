@@ -24,6 +24,12 @@ class SystemConfig:
     # (System.h eSensor)
     sensor: str = "mono"
     baseline: float = 0.11   # stereo baseline [m] (Camera.bf / fx)
+    # Fisheye (KB8) stereo rigs are non-rectified: the full extrinsic
+    # p_right = R_rl p_left + t_rl replaces the baseline (reference Tlr,
+    # Settings::readCamera2), and the right lens may differ from the left.
+    stereo_R_rl: tuple = None    # 3x3; None = identity
+    stereo_t_rl: tuple = None    # 3;   None = (-baseline, 0, 0)
+    tracker_right: TrackerConfig = None  # None = same as left
     depth_factor: float = 40.0  # close-point threshold = factor * baseline
     # --- IMU (inertial sensors only; reference Settings IMU.* keys) ---
     imu_noise_gyro: float = 1.7e-4
@@ -59,7 +65,10 @@ class SlamSystem:
     def __init__(self, cfg: SystemConfig = None):
         self.cfg = cfg or SystemConfig()
         if (self.cfg.sensor in ("stereo", "rgbd", "stereo-inertial")
-                and self.cfg.tracker.bf == 0.0):
+                and self.cfg.tracker.bf == 0.0
+                and self.cfg.tracker.camera_model != "kb8"):
+            # Fisheye stereo keeps bf = 0: residuals stay per-camera KB8
+            # projections, never the rectified u_r row.
             self.cfg.tracker.bf = self.cfg.tracker.fx * self.cfg.baseline
         self.atlas = Atlas()
         self.voc = None
@@ -68,6 +77,7 @@ class SlamSystem:
         self.map_dbs = {}        # map_id -> KeyframeDatabase (stored maps)
         self.merger = None
         self.timings = []
+        self.sys_stats = {}  # robustness-guard counters (resets, watchdogs)
         self._key = jax.random.PRNGKey(99)
         self.ba_mesh = None
         if self.cfg.ba_devices > 1:
@@ -138,10 +148,26 @@ class SlamSystem:
                 return InertialTracker(
                     c.tracker, m, calib=calib,
                     imu_init_times=c.imu_init_times, **kw)
+            if c.tracker.camera_model == "kb8":
+                from orb_slam3_study_kr_tpu.pipeline.inertial_tracking import (
+                    FisheyeStereoInertialTracker)
+                return FisheyeStereoInertialTracker(
+                    c.tracker, m, calib=calib,
+                    imu_init_times=c.imu_init_times,
+                    R_rl=c.stereo_R_rl, t_rl=c.stereo_t_rl,
+                    cfg_right=c.tracker_right,
+                    depth_factor=c.depth_factor, **kw)
             return StereoInertialTracker(
                 c.tracker, m, calib=calib, imu_init_times=c.imu_init_times,
                 baseline=c.baseline, depth_factor=c.depth_factor, **kw)
-        from orb_slam3_study_kr_tpu.pipeline.stereo_tracking import StereoTracker
+        from orb_slam3_study_kr_tpu.pipeline.stereo_tracking import (
+            FisheyeStereoTracker, StereoTracker)
+        if (self.cfg.sensor == "stereo"
+                and self.cfg.tracker.camera_model == "kb8"):
+            return FisheyeStereoTracker(
+                self.cfg.tracker, m, R_rl=self.cfg.stereo_R_rl,
+                t_rl=self.cfg.stereo_t_rl, cfg_right=self.cfg.tracker_right,
+                depth_factor=self.cfg.depth_factor, **kw)
         return StereoTracker(
             self.cfg.tracker, m, baseline=self.cfg.baseline,
             depth_factor=self.cfg.depth_factor, **kw)
@@ -280,8 +306,16 @@ class SlamSystem:
                 new_rows.append((ts, ref, Rrel, trel, state, ok, m))
         tr.trajectory = new_rows
 
-        # Welding BA around the re-entry keyframe (MergeLocal's mini-BA).
-        self.local_mapper._local_ba(tr.ref_kf)
+        # Welding BA around the re-entry keyframe: visual-inertial over the
+        # temporal seam window when the merged map is IMU-initialized
+        # (MergeInertialBA, /root/reference/src/Optimizer.cc:3956), else
+        # MergeLocal's visual mini-BA.
+        welded = False
+        if (self.cfg.sensor.endswith("-inertial") and mB.imu_initialized
+                and hasattr(tr, "local_inertial_ba")):
+            welded = tr.local_inertial_ba(tr.ref_kf)
+        if not welded:
+            self.local_mapper._local_ba(tr.ref_kf)
 
     # ------------------------------------------------------------------
     def _on_kf_culled(self, kf: int):
@@ -325,10 +359,14 @@ class SlamSystem:
             X = m.lm_pos[np.clip(lm, 0, m.max_lm - 1)]
             mask = (lm != NO_LM) & m.lm_valid[np.clip(lm, 0, m.max_lm - 1)]
             self._key, sub = jax.random.split(self._key)
+            bearings = None
+            if cfg.camera_model == "kb8":
+                bearings = cfg.unproject_fn(jnp.asarray(frame.uv))
             out = ransac_pnp(
                 sub, cfg.project_fn, cfg.project_jac_fn, cfg.K,
                 jnp.asarray(X), jnp.asarray(frame.uv),
                 jnp.asarray(frame.level), jnp.asarray(mask.astype(np.float32)),
+                bearings=bearings,
             )
             if bool(out["success"]):
                 frame.R_cw = np.asarray(out["R"])
@@ -355,9 +393,51 @@ class SlamSystem:
         self._new_active_map()
 
     # ------------------------------------------------------------------
+    MAX_TS_GAP = 1.0     # s: forward jump that invalidates tracking state
+    BAD_IMU_KFS = 20     # keyframes without IMU init => bad-IMU reset
+
+    def _check_timestamp(self, timestamp) -> None:
+        """Timestamp-jump guard (Tracking.cc:1837-1865): a backward step or
+        a forward gap > MAX_TS_GAP means the sensor stream broke (dataset
+        change, dropped frames); the motion model and any in-flight IMU
+        preintegration are meaningless across the gap, so the current map
+        is stored and a fresh one spawned (CreateMapInAtlas)."""
+        last = getattr(self, "_last_frame_ts", None)
+        self._last_frame_ts = timestamp
+        if last is None:
+            return
+        gap = timestamp - last
+        if gap < 0 or gap > self.MAX_TS_GAP:
+            tr = self.tracker
+            if tr.state == TrackState.NOT_INITIALIZED:
+                return  # nothing to protect yet
+            self.sys_stats["n_ts_resets"] = (
+                self.sys_stats.get("n_ts_resets", 0) + 1)
+            self._on_tracking_lost()
+
+    def _check_bad_imu(self, frame) -> None:
+        """Bad-IMU watchdog (LocalMapping.cc:139-148): a map that keeps
+        failing IMU initialization long past the point it should have
+        succeeded has an unobservable scale — reset it rather than let an
+        unaligned, mis-scaled map grow."""
+        if not self.cfg.sensor.endswith("-inertial"):
+            return
+        m = self.atlas.active_map
+        tr = self.tracker
+        if m.imu_initialized or tr.state != TrackState.OK:
+            return
+        first = getattr(tr, "_first_kf_ts", None)
+        if first is None:
+            return
+        if m.n_kf >= self.BAD_IMU_KFS and frame.timestamp - first > 10.0:
+            self.sys_stats["n_bad_imu_resets"] = (
+                self.sys_stats.get("n_bad_imu_resets", 0) + 1)
+            self._on_tracking_lost()
+
     def track_monocular(self, img, timestamp, imu=None):
         """System::TrackMonocular; with imu rows (M, 7) [dt, acc, gyro]
         covering (t_prev, t] this is the monocular-inertial path."""
+        self._check_timestamp(timestamp)
         t0 = time.perf_counter()
         if self.cfg.sensor == "mono-inertial":
             frame = self.tracker.process_inertial(
@@ -366,10 +446,12 @@ class SlamSystem:
         else:
             frame = self.tracker.process(img, timestamp)
         self.timings.append(time.perf_counter() - t0)
+        self._check_bad_imu(frame)
         return frame
 
     def track_stereo(self, img_left, img_right, timestamp, imu=None):
         """System::TrackStereo: rectified left/right pair (+ optional IMU)."""
+        self._check_timestamp(timestamp)
         t0 = time.perf_counter()
         if self.cfg.sensor == "stereo-inertial":
             frame = self.tracker.process_stereo_inertial(
@@ -378,10 +460,12 @@ class SlamSystem:
         else:
             frame = self.tracker.process_stereo(img_left, img_right, timestamp)
         self.timings.append(time.perf_counter() - t0)
+        self._check_bad_imu(frame)
         return frame
 
     def track_rgbd(self, img, depth_map, timestamp):
         """System::TrackRGBD: image + registered metric depth map."""
+        self._check_timestamp(timestamp)
         t0 = time.perf_counter()
         frame = self.tracker.process_rgbd(img, depth_map, timestamp)
         self.timings.append(time.perf_counter() - t0)

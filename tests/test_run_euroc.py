@@ -1,0 +1,88 @@
+"""examples/run_euroc.py integration on a generated EuRoC fixture.
+
+The reference's example executables are exercised end to end without real
+data: synthetic renders are written into the EuRoC mav0 directory layout,
+then played through the driver — including a TWO-sequence session whose
+inter-sequence timestamp gap must trigger the ChangeDataset map spawn
+(/root/reference/Examples/Monocular/mono_euroc.cc:33-228, :173-183)."""
+
+import argparse
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from orb_slam3_study_kr_tpu.io import synthetic
+from orb_slam3_study_kr_tpu.io.datasets import load_euroc
+from orb_slam3_study_kr_tpu.pipeline import SlamSystem, SystemConfig
+from orb_slam3_study_kr_tpu.pipeline.tracking import TrackerConfig, TrackState
+
+_spec = importlib.util.spec_from_file_location(
+    "run_euroc",
+    os.path.join(os.path.dirname(__file__), "..", "examples", "run_euroc.py"))
+run_euroc = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(run_euroc)
+
+
+def _write_sequence(root, world, R_gt, t_gt, ts0, rng):
+    os.makedirs(root / "cam0" / "data", exist_ok=True)
+    rows = []
+    for i in range(R_gt.shape[0]):
+        img = synthetic.render_textured(world, R_gt[i], t_gt[i], rng=rng)
+        ns = int((ts0 + i * 0.1) * 1e9)
+        name = f"{ns}.png"
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+            root / "cam0" / "data" / name)
+        rows.append((ns, name))
+    with open(root / "cam0" / "data.csv", "w") as f:
+        f.write("#timestamp [ns],filename\n")
+        for ns, name in rows:
+            f.write(f"{ns},{name}\n")
+
+
+@pytest.mark.slow
+def test_multisequence_session(tmp_path):
+    rng = np.random.default_rng(6)
+    world = synthetic.make_textured_world(rng, depth=6.0)
+    n = 18
+    R_gt, t_gt = synthetic.lateral_trajectory(2 * n, x_span=1.6, z_span=0.0,
+                                              y_amp=0.05)
+    root1 = tmp_path / "seq1" / "mav0"
+    root2 = tmp_path / "seq2" / "mav0"
+    # Second sequence starts 100 s later: the session must survive the
+    # discontinuity via the timestamp-jump guard, not track across it.
+    _write_sequence(root1, world, R_gt[:n], t_gt[:n], 10.0, rng)
+    _write_sequence(root2, world, R_gt[n:], t_gt[n:], 110.0, rng)
+
+    args = argparse.Namespace(sensor="mono", pace=False, max_frames=-1)
+    # min_kf_spawn=3: the first (short) sequence's map must be STORED on
+    # the timestamp jump, not discarded, so its trajectory rows survive.
+    slam = SlamSystem(SystemConfig(tracker=TrackerConfig(fps=10),
+                                   min_kf_spawn=3))
+    for root in (root1, root2):
+        seq = load_euroc(str(root))
+        assert len(seq) == n
+        run_euroc.run_sequence(slam, seq, args, inertial=False)
+
+    assert slam.sys_stats.get("n_ts_resets", 0) == 1
+    assert slam.state == TrackState.OK, slam.tracker.stats
+    out = tmp_path / "traj.txt"
+    slam.save_trajectory_tum(str(out))
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) > n  # both sequences contributed tracked frames
+
+
+def test_cli_smoke(tmp_path):
+    """Arg parsing + driver plumbing without heavy tracking."""
+    rng = np.random.default_rng(1)
+    world = synthetic.make_textured_world(rng, depth=6.0)
+    R_gt, t_gt = synthetic.lateral_trajectory(3, x_span=0.2, z_span=0.0)
+    root = tmp_path / "seq" / "mav0"
+    _write_sequence(root, world, R_gt, t_gt, 0.0, rng)
+    out = tmp_path / "t.txt"
+    rc = run_euroc.main([str(root), "--sensor", "mono", "--max-frames", "3",
+                         "--out", str(out)])
+    assert rc == 0
+    assert out.exists()
