@@ -94,6 +94,9 @@ def main():
     # --- full-system frames/s (host orchestration + mapping + loops) ---
     sys_fps = _system_fps()
 
+    # --- fused Pallas gated-NN matcher vs the HBM matrix path ---
+    match_ms = _matcher_ab()
+
     # --- BA scaling table (virtual CPU mesh; real multi-chip when available)
     scaling = _ba_scaling((1, 2, 4, 8))
 
@@ -106,6 +109,7 @@ def main():
         "ba_iters_per_s": round(ba_iters_per_s, 2),
         "ba_pcg_iters_per_s": round(ba_pcg_iters_per_s, 2),
         "ba_problem": f"K={K} M={M} O={O}",
+        "matcher_ms": match_ms,
         "ba_scaling_cpu_mesh": scaling,
         "device": str(jax.devices()[0]),
     }))
@@ -128,6 +132,50 @@ def _system_fps(n_frames: int = 36):
     warm = sorted(slam.timings[n_frames // 2:])
     med = warm[len(warm) // 2]
     return 1.0 / max(med, 1e-9)
+
+
+def _matcher_ab(L=4096, N=1024, reps=30):
+    """Local-map matcher A/B at tracking scale: plain-XLA (L, N) Hamming
+    matrix in HBM vs the fused Pallas gated-NN (tile-resident).  Pallas
+    only runs on a real TPU backend."""
+    import functools
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from orb_slam3_study_kr_tpu.cameras import pinhole
+    from orb_slam3_study_kr_tpu.ops import track_match
+
+    rng = np.random.default_rng(7)
+    params = jnp.asarray([458.0, 457.0, 376.0, 240.0, 0, 0, 0, 0, 0],
+                         jnp.float32)
+    project_fn = functools.partial(pinhole.project, params)
+    lm_pos = np.stack([rng.uniform(-3, 3, L), rng.uniform(-2, 2, L),
+                       rng.uniform(3, 9, L)], -1).astype(np.float32)
+    dirs = (lm_pos / np.linalg.norm(lm_pos, axis=-1, keepdims=True)
+            ).astype(np.float32)
+    args = (project_fn, jnp.eye(3), jnp.zeros(3),
+            jnp.asarray(lm_pos), jnp.asarray(dirs),
+            jnp.asarray(rng.uniform(0.5, 1, L).astype(np.float32)),
+            jnp.asarray(rng.uniform(8, 20, L).astype(np.float32)),
+            jnp.asarray((rng.random((L, 256)) < 0.5).astype(np.uint8)),
+            jnp.ones(L, jnp.float32),
+            jnp.asarray(rng.uniform(0, 752, (N, 2)).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 8, N).astype(np.int32)),
+            jnp.asarray((rng.random((N, 256)) < 0.5).astype(np.uint8)),
+            jnp.ones(N, bool), 752, 480)
+
+    def time_fn(fn):
+        jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    res = {"jnp": round(time_fn(track_match.match_local_map), 3)}
+    if jax.default_backend() == "tpu":
+        res["pallas"] = round(time_fn(track_match.match_local_map_pallas), 3)
+    return res
 
 
 def _ba_scaling(device_counts):

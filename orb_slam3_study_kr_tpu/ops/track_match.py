@@ -26,14 +26,25 @@ VIEW_COS_LIMIT = 0.5
 def project_landmarks(
     project_fn, R_cw, t_cw,
     lm_pos, lm_normal, lm_min_dist, lm_max_dist, lm_mask,
-    width, height, scale_factor=1.2, n_levels=8,
+    width, height, scale_factor=1.2, n_levels=8, max_theta_deg=None,
 ):
     """Frustum + band + view-angle visibility (Frame::isInFrustum) and
     predicted level (MapPoint::PredictScale) for all landmarks at once.
 
+    `max_theta_deg`: optional off-axis limit replacing the pinhole z > 0
+    frustum gate for wide-FOV lenses (KB8: pass half the lens FOV, so
+    points past 90 deg off-axis stay visible — the reference routes this
+    through GeometricCamera-aware isInFrustum for fisheye frames).
+
     Returns (uv (L, 2), visible (L,), pred_level (L,), view_cos (L,))."""
     p = jnp.einsum("ij,lj->li", R_cw, lm_pos) + t_cw
-    z_ok = p[:, 2] > 0.01
+    if max_theta_deg is None:
+        z_ok = p[:, 2] > 0.01
+    else:
+        r_xy = jnp.linalg.norm(p[:, :2], axis=-1)
+        theta = jnp.arctan2(r_xy, p[:, 2])
+        z_ok = (theta < jnp.radians(max_theta_deg)) & (
+            jnp.linalg.norm(p, axis=-1) > 1e-3)
     uv = project_fn(p)
     in_img = (
         (uv[:, 0] >= 0) & (uv[:, 0] < width) & (uv[:, 1] >= 0) & (uv[:, 1] < height)
@@ -57,7 +68,7 @@ def match_local_map(
     lm_pos, lm_normal, lm_min_dist, lm_max_dist, lm_desc, lm_mask,
     f_uv, f_level, f_desc, f_valid,
     width, height, th=1.0, nn_ratio=0.8, scale_factor=1.2, n_levels=8,
-    level_slack=1, max_dist=TH_HIGH,
+    level_slack=1, max_dist=TH_HIGH, max_theta_deg=None,
 ):
     """SearchByProjection(Frame, vector<MapPoint*>, th): track-local-map.
 
@@ -65,7 +76,7 @@ def match_local_map(
     indexes the lm_* arrays passed in."""
     uv_proj, visible, pred, view_cos = project_landmarks(
         project_fn, R_cw, t_cw, lm_pos, lm_normal, lm_min_dist, lm_max_dist,
-        lm_mask, width, height, scale_factor, n_levels,
+        lm_mask, width, height, scale_factor, n_levels, max_theta_deg,
     )
     # Radius: 2.5 px if well-aligned view else 4.0, times th, times the
     # predicted level's scale (ORBmatcher::RadiusByViewingCos).
@@ -100,6 +111,60 @@ def match_local_map(
     min_key = jnp.full((lm_pos.shape[0],), BIG, key.dtype).at[lm_slot].min(key)
     ok = ok & (key <= min_key[lm_slot])
     return lm_slot, ok, visible
+
+
+@functools.partial(jax.jit, static_argnames=("project_fn", "level_slack",
+                                             "interpret"))
+def match_local_map_pallas(
+    project_fn, R_cw, t_cw,
+    lm_pos, lm_normal, lm_min_dist, lm_max_dist, lm_desc, lm_mask,
+    f_uv, f_level, f_desc, f_valid,
+    width, height, th=1.0, nn_ratio=0.8, scale_factor=1.2, n_levels=8,
+    level_slack=1, max_dist=TH_HIGH, max_theta_deg=None, interpret=False,
+):
+    """match_local_map with the fused Pallas gated-NN kernel: identical
+    contract/outputs, but the (L, N) Hamming matrix and gate mask never
+    materialize in HBM (ops/pallas_matching.gated_nn_pallas)."""
+    from orb_slam3_study_kr_tpu.ops.pallas_matching import gated_nn_pallas
+
+    uv_proj, visible, pred, view_cos = project_landmarks(
+        project_fn, R_cw, t_cw, lm_pos, lm_normal, lm_min_dist, lm_max_dist,
+        lm_mask, width, height, scale_factor, n_levels, max_theta_deg,
+    )
+    base_r = jnp.where(view_cos > 0.998, 2.5, 4.0) * th
+    radius = base_r * scale_factor ** pred.astype(jnp.float32)
+
+    L = lm_pos.shape[0]
+    tile = 256 if L % 256 == 0 else None
+    if tile is None:  # unpadded landmark count: fall back to the jnp path
+        return match_local_map(
+            project_fn, R_cw, t_cw, lm_pos, lm_normal, lm_min_dist,
+            lm_max_dist, lm_desc, lm_mask, f_uv, f_level, f_desc, f_valid,
+            width, height, th, nn_ratio, scale_factor, n_levels,
+            level_slack, max_dist, max_theta_deg)
+    best, second, lm_slot = gated_nn_pallas(
+        f_desc, f_uv, f_level, f_valid,
+        lm_desc, uv_proj, radius, pred, visible,
+        tile_t=tile, level_slack=level_slack, interpret=interpret,
+    )
+    ok = (best <= max_dist) & (best < nn_ratio * second) & f_valid
+    n = f_uv.shape[0]
+    key = jnp.where(
+        ok,
+        best * (n + 1) + jnp.arange(n, dtype=best.dtype),
+        BIG,
+    )
+    min_key = jnp.full((L,), BIG, key.dtype).at[lm_slot].min(key)
+    ok = ok & (key <= min_key[lm_slot])
+    return lm_slot, ok, visible
+
+
+def match_local_map_auto(*args, **kw):
+    """Dispatch the local-map matcher: fused Pallas kernel on TPU, the
+    plain-XLA matrix path elsewhere (CPU tests, interpret-free)."""
+    if jax.default_backend() == "tpu":
+        return match_local_map_pallas(*args, **kw)
+    return match_local_map(*args, **kw)
 
 
 @jax.jit
