@@ -32,10 +32,17 @@ class LocalMapper:
     ba_iters: int = 8
     # KeyFrameCulling (LocalMapping.cc:932): a covisible keyframe whose
     # observations are >= redundancy_th covered by >= 3 other keyframes at
-    # the same-or-finer scale is removed.  Disabled for inertial sessions
-    # this round (the reference merges preintegrations on erase).
+    # the same-or-finer scale is removed.
     enable_kf_culling: bool = True
     kf_redundancy_th: float = 0.9
+    # Inertial sessions: culling is allowed (temporal preintegration
+    # intervals are re-built from the raw IMU log by timestamp, so erasing
+    # a keyframe merges its intervals automatically — the role of the
+    # reference's Preintegrated::MergePrevious), but only where the merged
+    # temporal gap stays below this bound (LocalMapping.cc:1023 keeps
+    # inertial chains denser than ~3 s).
+    inertial_mode: bool = False
+    inertial_max_gap_s: float = 3.0
     on_kf_culled: "callable" = None  # callback(kf_id) for index maintenance
     # Inertial sessions: LocalInertialBA entry point (ImuMixin.
     # local_inertial_ba).  When set and the map's IMU is initialized, the
@@ -230,6 +237,8 @@ class LocalMapper:
             # the keyframe under processing.
             if c <= 1 or c == kf or not m.kf_valid[c]:
                 continue
+            if self.inertial_mode and not self._inertial_cullable(c):
+                continue
             kp = np.nonzero(m.kf_kp_valid[c] & (m.kf_kp_lm[c] != NO_LM))[0]
             lms = m.kf_kp_lm[c, kp]
             live = m.lm_valid[lms]
@@ -261,6 +270,19 @@ class LocalMapper:
             self.stats["n_kf_culled"] += 1
             if self.on_kf_culled is not None:
                 self.on_kf_culled(c)
+
+    def _inertial_cullable(self, c: int) -> bool:
+        """Erasing `c` must not stretch the temporal IMU chain beyond the
+        gap bound (its prev/next keyframes by timestamp get welded)."""
+        m = self.map
+        kfs = np.nonzero(m.kf_valid)[0]
+        ts = m.kf_timestamp[kfs]
+        order = np.argsort(ts, kind="stable")
+        kfs, ts = kfs[order], ts[order]
+        i = int(np.nonzero(kfs == c)[0][0])
+        if i == 0 or i == kfs.size - 1:
+            return False  # chain endpoints anchor the inertial solve
+        return (ts[i + 1] - ts[i - 1]) < self.inertial_max_gap_s
 
     # ------------------------------------------------------------------
     def _local_ba(self, kf: int):

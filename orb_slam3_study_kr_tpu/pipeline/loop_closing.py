@@ -343,11 +343,23 @@ class LoopCloser:
             ei.append(pos[i]); ej.append(pos[j])
             Rm.append(Rrel); tm.append(trel); sm.append(srel); w.append(weight)
 
-        # Sequential chain (the spanning-tree stand-in).
-        for a, b in zip(kfs[1:], kfs[:-1]):
+        # Covisibility spanning tree (KeyFrame::ChangeParent semantics,
+        # KeyFrame.h:233-240): each keyframe's parent is the earlier
+        # keyframe it shares most observations with, falling back to the
+        # temporal predecessor when nothing covisible precedes it.
+        order = {int(k): i for i, k in enumerate(kfs)}
+        for a in kfs[1:]:
+            a = int(a)
+            nb, wts = m.covisibility(a, min_shared=1)
+            parent, best_w = None, 0
+            for j, wj in zip(nb, wts):
+                if order[int(j)] < order[a] and wj > best_w:
+                    parent, best_w = int(j), int(wj)
+            if parent is None:
+                parent = int(kfs[order[a] - 1])
             r = relative_sim3(R[pos[a]], t[pos[a]], s[pos[a]],
-                              R[pos[b]], t[pos[b]], s[pos[b]])
-            add_edge(int(a), int(b), *r)
+                              R[pos[parent]], t[pos[parent]], s[pos[parent]])
+            add_edge(a, parent, *r)
         # Strong covisibility edges.
         for i in kfs:
             nb, wts = m.covisibility(int(i), min_shared=COVIS_EDGE_WEIGHT)

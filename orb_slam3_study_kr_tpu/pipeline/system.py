@@ -97,10 +97,7 @@ class SlamSystem:
         old_tracker = getattr(self, "tracker", None)
         self.local_mapper = LocalMapper(
             cfg=self.cfg.tracker, map=m,
-            # Inertial sessions keep every keyframe this round: the temporal
-            # prev->next IMU chain would need preintegration merging on
-            # erase (reference Preintegrated::MergePrevious).
-            enable_kf_culling=not self.cfg.sensor.endswith("-inertial"),
+            inertial_mode=self.cfg.sensor.endswith("-inertial"),
             on_kf_culled=self._on_kf_culled,
         )
         self.tracker = self._build_tracker(m)

@@ -59,6 +59,11 @@ class TrackerConfig:
     fisheye_half_fov_deg: float = 98.0  # lens half-FOV visibility limit (kb8)
     fps: float = 20.0
     n_features: int = 1000
+    # ORB pyramid/threshold knobs (reference ORBextractor.* settings keys).
+    orb_n_levels: int = 8
+    orb_scale_factor: float = 1.2
+    orb_ini_th_fast: int = 20
+    orb_min_th_fast: int = 7
     min_init_matches: int = 100
     min_track_matches: int = 12
     min_local_inliers: int = 25
@@ -118,7 +123,10 @@ class TrackerConfig:
     @functools.cached_property
     def orb_config(self):
         return orb.OrbConfig(
-            n_features=self.n_features, height=self.height, width=self.width
+            n_features=self.n_features, height=self.height, width=self.width,
+            n_levels=self.orb_n_levels, scale_factor=self.orb_scale_factor,
+            fast_threshold=self.orb_ini_th_fast,
+            fast_min_threshold=self.orb_min_th_fast,
         )
 
     @functools.cached_property

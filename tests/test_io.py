@@ -68,3 +68,38 @@ def test_settings_parses_reference_tumvi_yaml():
     s = Settings(REF_TUMVI)
     cam = s.make_camera()
     assert cam.kind.value == "kb8"
+
+
+REF_STEREO_TUMVI = "/root/reference/Examples/Stereo-Inertial/TUM-VI.yaml"
+
+
+def test_settings_stereo_tumvi():
+    """KB8 stereo-inertial TUM-VI config: fisheye tracker + Tlr extrinsics
+    (Settings.cc readCamera2 / Settings.h:58-123 parity)."""
+    if not os.path.exists(REF_STEREO_TUMVI):
+        pytest.skip("reference YAMLs not present")
+    st = Settings(REF_STEREO_TUMVI)
+    cfg = st.tracker_config()
+    assert cfg.camera_model == "kb8"
+    assert len(cfg.dist) == 4
+    assert cfg.bf == 0.0  # fisheye rigs never use the rectified residual
+    assert cfg.orb_n_levels >= 1 and cfg.orb_scale_factor > 1.0
+    rig = st.stereo()
+    assert rig is not None and "R_rl" in rig
+    R_rl = np.asarray(rig["R_rl"])
+    np.testing.assert_allclose(R_rl @ R_rl.T, np.eye(3), atol=1e-6)
+    assert 0.05 < rig["baseline"] < 0.2  # TUM-VI ~10 cm stereo base
+    calib = st.imu_calib()
+    assert calib is not None
+
+
+def test_settings_stereo_euroc_rectified():
+    path = "/root/reference/Examples/Stereo/EuRoC.yaml"
+    if not os.path.exists(path):
+        pytest.skip("reference YAMLs not present")
+    st = Settings(path)
+    rig = st.stereo()
+    assert rig is not None
+    assert rig["baseline"] > 0.0
+    load, save = st.atlas_files()  # keys absent -> (None, None), no raise
+    assert load is None and save is None

@@ -96,3 +96,28 @@ def test_dead_end_chain_returns_invalid():
     ref, _, _ = m.resolve_kf(3, np.eye(3, dtype=np.float32),
                              np.zeros(3, np.float32))
     assert ref == -1
+
+
+def test_inertial_culling_gap_gate():
+    """Inertial-mode culling: endpoints of the temporal chain are never
+    cullable, and a keyframe whose removal would stretch the welded IMU
+    interval past the gap bound is kept (LocalMapping.cc:1023 density)."""
+    from orb_slam3_study_kr_tpu.pipeline.local_mapping import LocalMapper
+    from orb_slam3_study_kr_tpu.pipeline.tracking import TrackerConfig
+    from orb_slam3_study_kr_tpu.slam_map.map_state import MapState
+
+    m = MapState(max_kf=8, max_kp=4, max_lm=16)
+    ts = [0.0, 0.5, 1.0, 4.0, 4.5]
+    for i, t in enumerate(ts):
+        uv = np.zeros((4, 2), np.float32)
+        m.add_keyframe(np.eye(3, dtype=np.float32),
+                       np.zeros(3, np.float32), uv,
+                       np.zeros(4, np.int32), np.zeros(4, np.float32),
+                       np.ones(4, bool), np.zeros((4, 256), np.uint8),
+                       i, t)
+    lm = LocalMapper(cfg=TrackerConfig(), map=m, inertial_mode=True)
+    assert not lm._inertial_cullable(0)   # chain start
+    assert not lm._inertial_cullable(4)   # chain end
+    assert lm._inertial_cullable(1)       # 0.0 -> 1.0 weld: 1.0 s gap, ok
+    assert not lm._inertial_cullable(2)   # 0.5 -> 4.0 weld: 3.5 s, too wide
+    assert not lm._inertial_cullable(3)   # 1.0 -> 4.5 weld: 3.5 s, too wide
