@@ -324,6 +324,10 @@ class ImuMixin:
         priors = {1: (1e2, 1e10), 2: (1.0, 1e5), 3: (0.0, 0.0)}[target]
         if self._run_imu_init(sel, rows, priors, frame):
             self.imu_stage = target
+            if target >= 3:
+                # Final refinement stage done (Map::SetInertialBA2): the
+                # bias is mature, keyframe culling may widen temporal gaps.
+                self.map.imu_ba2 = True
 
     def _run_imu_init(self, chain, rows, priors, frame):
         """InertialOptimization over the keyframe chain, then

@@ -39,10 +39,12 @@ class LocalMapper:
     # intervals are re-built from the raw IMU log by timestamp, so erasing
     # a keyframe merges its intervals automatically — the role of the
     # reference's Preintegrated::MergePrevious), but only where the merged
-    # temporal gap stays below this bound (LocalMapping.cc:1023 keeps
-    # inertial chains denser than ~3 s).
+    # temporal gap stays below the staged bound of LocalMapping.cc:1018-1027:
+    # 0.5 s until the final inertial refinement (VIBA2) has run, 3 s after
+    # (an immature bias estimate needs the dense chain).
     inertial_mode: bool = False
     inertial_max_gap_s: float = 3.0
+    inertial_max_gap_early_s: float = 0.5
     on_kf_culled: "callable" = None  # callback(kf_id) for index maintenance
     # Inertial sessions: LocalInertialBA entry point (ImuMixin.
     # local_inertial_ba).  When set and the map's IMU is initialized, the
@@ -282,7 +284,9 @@ class LocalMapper:
         i = int(np.nonzero(kfs == c)[0][0])
         if i == 0 or i == kfs.size - 1:
             return False  # chain endpoints anchor the inertial solve
-        return (ts[i + 1] - ts[i - 1]) < self.inertial_max_gap_s
+        bound = (self.inertial_max_gap_s if m.imu_ba2
+                 else self.inertial_max_gap_early_s)
+        return (ts[i + 1] - ts[i - 1]) < bound
 
     # ------------------------------------------------------------------
     def _local_ba(self, kf: int):

@@ -47,6 +47,7 @@ class MapState:
     kf_v: np.ndarray = None          # (max_kf, 3) body velocity in world
     kf_bias: np.ndarray = None       # (max_kf, 6) [bg, ba] IMU bias
     imu_initialized: bool = False    # Map::SetImuInitialized flag
+    imu_ba2: bool = False            # Map::SetInertialBA2 (final VIBA stage)
 
     # --- culled-keyframe redirects (KeyFrame::mTcp + parent; trajectory
     # replay climbs these like the reference climbs the spanning tree over

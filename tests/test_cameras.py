@@ -66,11 +66,22 @@ def test_kb8_roundtrip(rng):
     pts = jnp.asarray(pts, jnp.float32)
     uv = cameras.project(cam, pts)
     rays = cameras.unproject(cam, uv)
-    np.testing.assert_allclose(
-        np.asarray(rays[:, :2]),
-        np.asarray(pts[:, :2] / pts[:, 2:3]),
-        atol=2e-3,
-    )
+    # Unit bearings (z = 1 cannot represent >90-degree rays): direction
+    # must match the source point's direction.
+    dirs = np.asarray(pts) / np.linalg.norm(pts, axis=-1, keepdims=True)
+    rays_n = np.asarray(rays) / np.linalg.norm(np.asarray(rays), axis=-1,
+                                               keepdims=True)
+    np.testing.assert_allclose(rays_n, dirs, atol=2e-3)
+    # And the round trip lands back on the source pixel — including rays
+    # beyond 90 degrees off-axis.
+    theta_w = np.radians(rng.uniform(91.0, 100.0, 32))
+    phi_w = rng.uniform(0, 2 * np.pi, 32)
+    pts_w = np.stack([np.sin(theta_w) * np.cos(phi_w),
+                      np.sin(theta_w) * np.sin(phi_w),
+                      np.cos(theta_w)], -1).astype(np.float32) * 3.0
+    uv_w = cameras.project(cam, jnp.asarray(pts_w))
+    back = cameras.project(cam, cameras.unproject(cam, uv_w))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(uv_w), atol=0.2)
 
 
 def test_kb8_jacobian_finite_diff(rng):

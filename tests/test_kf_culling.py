@@ -116,6 +116,9 @@ def test_inertial_culling_gap_gate():
                        np.ones(4, bool), np.zeros((4, 256), np.uint8),
                        i, t)
     lm = LocalMapper(cfg=TrackerConfig(), map=m, inertial_mode=True)
+    # Before the final inertial refinement (VIBA2): tight 0.5 s bound.
+    assert not lm._inertial_cullable(1)   # 0.0 -> 1.0 weld: 1.0 s > 0.5
+    m.imu_ba2 = True                      # mature bias: 3 s bound
     assert not lm._inertial_cullable(0)   # chain start
     assert not lm._inertial_cullable(4)   # chain end
     assert lm._inertial_cullable(1)       # 0.0 -> 1.0 weld: 1.0 s gap, ok
