@@ -36,10 +36,31 @@ from orb_slam3_study_kr_tpu.pipeline.tracking import TrackerConfig
 
 def build_system(args):
     if args.settings:
+        from dataclasses import replace
+
         from orb_slam3_study_kr_tpu.io.settings import Settings
         st = Settings(args.settings)
         tracker = st.tracker_config()
         sys_kw = dict(tracker=tracker, sensor=args.sensor)
+        if args.sensor.startswith("stereo"):
+            # Plumb the calibrated rig (Stereo.T_c1_c2 / Camera2.*) through;
+            # without this a TUM-VI YAML would silently run with identity
+            # extrinsics and the left lens for the right camera.
+            rig = st.stereo()
+            if rig is None:
+                raise SystemExit(
+                    f"{args.settings}: no stereo calibration "
+                    "(Camera.bf / Stereo.T_c1_c2) for a stereo sensor")
+            sys_kw.update(
+                stereo_R_rl=tuple(map(tuple, np.asarray(rig["R_rl"]))),
+                stereo_t_rl=tuple(np.asarray(rig["t_rl"])),
+                baseline=float(rig["baseline"]),
+            )
+            if rig.get("cam2") is not None:
+                fx2, fy2, cx2, cy2, *dist2 = rig["cam2"]
+                sys_kw["tracker_right"] = replace(
+                    tracker, fx=fx2, fy=fy2, cx=cx2, cy=cy2,
+                    dist=tuple(dist2))
         if args.sensor.endswith("-inertial"):
             calib = st.imu_calib()
             sys_kw.update(
@@ -72,12 +93,13 @@ def run_sequence(slam, seq, args, inertial):
     """Play one sequence; returns the number of frames delivered."""
     n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
     t_prev = None
+    imu_dt = 1.0 / float(slam.cfg.imu_freq or 200.0)
     for i in range(n):
         ts = float(seq.cam0_ts[i])
         img = seq.image(i)
         imu = None
         if inertial and seq.imu_ts is not None:
-            t0 = t_prev if t_prev is not None else ts - 1.0 / 200.0
+            t0 = t_prev if t_prev is not None else ts - imu_dt
             its, gyro, acc = seq.imu_between(t0, ts)
             dts = np.diff(np.concatenate([[t0], its]))
             imu = np.concatenate(
@@ -138,14 +160,29 @@ def main(argv=None):
     print(f"trajectory -> {args.out}")
 
     if gt_all:
-        rows = slam.trajectory()
+        # Each map has its own gauge (and, for mono, its own scale) after a
+        # timestamp-jump spawn — align + report ATE per contiguous map
+        # segment, then pool the residuals for a combined RMSE.
+        rows, map_ids = slam.trajectory(with_map_ids=True)
         gt_ts = np.concatenate([g[0] for g in gt_all])
         gt_pos = np.concatenate([g[1] for g in gt_all])
         with_scale = args.sensor == "mono"
-        rmse, nm, _ = ate_rmse(rows[:, 0], rows[:, 1:4], gt_ts, gt_pos,
-                               with_scale=with_scale)
-        print(f"ATE RMSE {rmse:.4f} m over {nm} matched frames"
-              f"{' (scale-aligned)' if with_scale else ''}")
+        sq_sum, n_sum = 0.0, 0
+        for mid in np.unique(map_ids):
+            sel = map_ids == mid
+            if sel.sum() < 3:
+                continue
+            rmse, nm, _ = ate_rmse(rows[sel, 0], rows[sel, 1:4],
+                                   gt_ts, gt_pos, with_scale=with_scale)
+            if nm == 0:
+                continue
+            print(f"  map {mid}: ATE RMSE {rmse:.4f} m over {nm} frames"
+                  f"{' (scale-aligned)' if with_scale else ''}")
+            sq_sum += rmse * rmse * nm
+            n_sum += nm
+        if n_sum:
+            print(f"ATE RMSE {np.sqrt(sq_sum / n_sum):.4f} m over {n_sum} "
+                  f"matched frames (per-map alignment)")
     return 0
 
 

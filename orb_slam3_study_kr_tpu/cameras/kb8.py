@@ -11,6 +11,8 @@ Model: r = |(x, y)|, theta = atan2(r, z),
 Params layout: [fx, fy, cx, cy, k1, k2, k3, k4, 0].
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -35,6 +37,7 @@ def project(params, pts):
     return jnp.stack([fx * scale * x + cx, fy * scale * y + cy], axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
 def unproject(params, uv, iters: int = 10):
     """Pixels (..., 2) -> UNIT bearing vector (..., 3).
 

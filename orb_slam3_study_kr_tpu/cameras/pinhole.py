@@ -9,6 +9,8 @@ Intrinsics layout (params vector): [fx, fy, cx, cy, k1, k2, p1, p2, k3]
 point axes.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -27,9 +29,14 @@ def distort_normalized(params, xy):
     return jnp.stack([xd, yd], axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
 def undistort_normalized(params, xy_d, iters: int = 8):
     """Invert rad-tan distortion by fixed-point iteration (cv::undistortPoints
-    uses the same scheme)."""
+    uses the same scheme).
+
+    Jitted at module level: eager per-frame callers would otherwise re-trace
+    the fori_loop body closure every call and miss the scan compile cache
+    (a fresh XLA compile per frame)."""
 
     def body(_, xy):
         k1, k2, p1, p2, k3 = (params[..., 4], params[..., 5], params[..., 6],

@@ -135,8 +135,11 @@ def match_local_map_pallas(
     radius = base_r * scale_factor ** pred.astype(jnp.float32)
 
     L = lm_pos.shape[0]
-    tile = 256 if L % 256 == 0 else None
-    if tile is None:  # unpadded landmark count: fall back to the jnp path
+    # The kernel packs (distance, index) into one exact f32 key, which
+    # requires L * KEY_GATE < 2^24 (pallas_matching.gated_nn_pallas); an
+    # unpadded or oversized landmark set falls back to the jnp path.
+    tile = 256 if (L % 256 == 0 and L * 512 < 2 ** 24) else None
+    if tile is None:  # unsupported landmark count: fall back to the jnp path
         return match_local_map(
             project_fn, R_cw, t_cw, lm_pos, lm_normal, lm_min_dist,
             lm_max_dist, lm_desc, lm_mask, f_uv, f_level, f_desc, f_valid,

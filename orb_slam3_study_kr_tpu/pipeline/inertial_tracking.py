@@ -208,6 +208,7 @@ class ImuMixin:
             jnp.asarray(self._R_cb), jnp.asarray(self._t_cb),
             jnp.asarray(X), jnp.asarray(frame.uv),
             jnp.asarray(frame.level), jnp.asarray(mask.astype(np.float32)),
+            wide_fov=cfg.camera_model == "kb8",
         )
         inl = np.asarray(inl) & mask
         R_cw, t_cw = _cam_from_body(np.asarray(R), np.asarray(p),
@@ -606,6 +607,7 @@ class ImuMixin:
             bias_src=n_chain - 1,
             prior_gyro=prior_gyro, prior_acc=prior_acc,
             fixed_vb=jnp.asarray(fixed_vb_p),
+            wide_fov=cfg.camera_model == "kb8",
             **stereo_kw,
         )
         R_f, p_f, v_f, b_f, X_f, chi2, cost = out

@@ -481,8 +481,8 @@ class SlamSystem:
     def state(self):
         return self.tracker.state
 
-    def trajectory(self):
-        return self.tracker.final_trajectory()
+    def trajectory(self, with_map_ids=False):
+        return self.tracker.final_trajectory(with_map_ids=with_map_ids)
 
     def save_trajectory_tum(self, path):
         """TUM format: ts tx ty tz qx qy qz qw (System::SaveTrajectoryTUM)."""

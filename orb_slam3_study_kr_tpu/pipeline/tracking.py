@@ -875,13 +875,15 @@ class MonoTracker:
                  self.state, frame.pose_ok, self.map)
             )
 
-    def final_trajectory(self):
+    def final_trajectory(self, with_map_ids=False):
         """Replay relative poses against (possibly BA-corrected) keyframe
         poses (System::SaveTrajectoryEuRoC semantics).  Returns (T, 8):
-        timestamp + T_wc position + quaternion [qw qx qy qz]."""
+        timestamp + T_wc position + quaternion [qw qx qy qz]; with
+        ``with_map_ids`` also the owning map id per row (rows from
+        different maps have independent gauges — align them separately)."""
         from orb_slam3_study_kr_tpu.lie.so3 import matrix_to_quat
 
-        rows = []
+        rows, map_ids = [], []
         for ts, ref, Rrel, trel, state, ok, m in self.trajectory:
             if not ok:
                 continue
@@ -898,4 +900,8 @@ class MonoTracker:
             R_wc, t_wc = se3.se3_inverse(R_cw, t_cw)
             q = np.asarray(matrix_to_quat(R_wc))
             rows.append([ts, *np.asarray(t_wc), q[0], q[1], q[2], q[3]])
-        return np.array(rows)
+            map_ids.append(m.map_id)
+        rows = np.array(rows)
+        if with_map_ids:
+            return rows, np.array(map_ids, np.int64)
+        return rows

@@ -203,7 +203,8 @@ def inertial_only_optimization(
                 edge_norms=edge_norms)
 
 
-@functools.partial(jax.jit, static_argnames=("project_fn", "n_iters"))
+@functools.partial(jax.jit,
+                   static_argnames=("project_fn", "n_iters", "wide_fov"))
 def pose_inertial_optimization(
     project_fn,
     R_wb0, p_wb0, v_w0, bias0,       # previous (anchor) body state — fixed
@@ -212,6 +213,7 @@ def pose_inertial_optimization(
     R_cb, t_cb,                      # camera <- body extrinsics
     X, uv_obs, level, obs_mask,      # visual obs of the current frame
     n_iters=10, damping=1e-3,
+    wide_fov=False,                  # fisheye: |p| > 0 cheirality, not z > 0
 ):
     """Optimize the current frame's (R, p, v, bias) against its matched
     landmarks plus the preintegration edge from the anchor state
@@ -260,7 +262,9 @@ def pose_inertial_optimization(
         r_vis, pc = visual_residuals(R, p)
         chi2 = jnp.sum(r_vis * r_vis, -1) * inv_sigma2
         w = obs_mask * inv_sigma2 * robust.huber_weight(chi2, robust.HUBER_MONO)
-        w = w * (pc[:, 2] > 1e-3)
+        cheir = (jnp.linalg.norm(pc, axis=-1) > 1e-3) if wide_fov \
+            else (pc[:, 2] > 1e-3)
+        w = w * cheir
         return jnp.sqrt(jnp.maximum(w, 0.0)), chi2
 
     def gn_step(carry, _):

@@ -56,7 +56,8 @@ def _edge_whitening(pre_stack, eps=1e-8):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("project_fn", "project_jac_fn", "n_iters", "shared_bias"),
+    static_argnames=("project_fn", "project_jac_fn", "n_iters", "shared_bias",
+                     "wide_fov"),
 )
 def inertial_bundle_adjust(
     project_fn, project_jac_fn,
@@ -75,6 +76,7 @@ def inertial_bundle_adjust(
     obs_ur=None, bf=None,
     fixed_vb=None,                # (K,) 1.0 = frozen vel+bias (default =
                                   # fixed; a gauge anchor can free these)
+    wide_fov: bool = False,       # fisheye: |p| > 0 cheirality, not z > 0
 ):
     """Returns (R_wb, p_wb, v_w, bias, X, chi2_vis (O,), cost).
 
@@ -146,7 +148,10 @@ def inertial_bundle_adjust(
         J_dp = -jnp.einsum("nda,nab->ndb", Jp, RcRbw)
         J_X = jnp.einsum("nda,nab->ndb", Jp, RcRbw)
         J_pose6 = jnp.concatenate([J_phi, J_dp], axis=-1)  # (O, D, 6)
-        depth_ok = (pc[..., 2] > 1e-3).astype(dtype)
+        # Fisheye (KB8) observations past 90 deg off-axis are legitimate:
+        # gate on range, not depth (same as solvers/local_ba.py).
+        depth_ok = ((jnp.linalg.norm(pc, axis=-1) > 1e-3) if wide_fov
+                    else (pc[..., 2] > 1e-3)).astype(dtype)
         return r, J_pose6, J_X, depth_ok
 
     def inertial_residual_block(R_all, p_all, v_all, b_all):

@@ -66,6 +66,10 @@ def ransac_pnp(
     dict(R, t, inliers, n_inliers, success)."""
     n = X.shape[0]
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    # Caller-supplied bearings mean a non-pinhole (fisheye) model: the GN
+    # polish must then use the wide-FOV cheirality (|p| > 0, not z > 0) or
+    # every legitimate >90-deg-off-axis observation is zero-weighted.
+    wide_fov = bearings is not None
     if bearings is None:
         xn = jnp.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], -1)
         bearings = jnp.concatenate([xn, jnp.ones_like(xn[:, :1])], -1)
@@ -93,6 +97,7 @@ def ransac_pnp(
     R0, t0 = R_h[best], t_h[best]
     w = inl[best].astype(X.dtype) * mask
     R_f, t_f, inliers, n_inl = optimize_pose(
-        project_fn, project_jac_fn, R0, t0, X, uv, level, w)
+        project_fn, project_jac_fn, R0, t0, X, uv, level, w,
+        wide_fov=wide_fov)
     return dict(R=R_f, t=t_f, inliers=inliers, n_inliers=n_inl,
                 success=n_inl >= min_inliers)
