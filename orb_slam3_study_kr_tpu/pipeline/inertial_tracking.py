@@ -206,8 +206,8 @@ class ImuMixin:
             jnp.asarray(self.bias), self._pre_frame,
             jnp.asarray(R_wbi), jnp.asarray(p_wbi), jnp.asarray(v_init),
             jnp.asarray(self._R_cb), jnp.asarray(self._t_cb),
-            jnp.asarray(X), jnp.asarray(frame.uv),
-            jnp.asarray(frame.level), jnp.asarray(mask.astype(np.float32)),
+            jnp.asarray(X), frame.dev("uv"),
+            frame.dev("level"), jnp.asarray(mask.astype(np.float32)),
             wide_fov=cfg.camera_model == "kb8",
         )
         inl = np.asarray(inl) & mask

@@ -10,6 +10,7 @@ acceptance gates, but each step is a fixed-shape jit op over the SoA map.
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,6 +117,18 @@ class LocalMapper:
             neighbors = np.array([kf - 1], np.int32)
         free1 = m.kf_kp_valid[kf] & (m.kf_kp_lm[kf] == NO_LM)
         center1 = m.kf_center(kf)
+        # Phase 1: dispatch matching+triangulation against every neighbor
+        # (async), fetch all results in ONE round trip.  All dispatches see
+        # the same initial `free1`; keypoints that two neighbors both
+        # triangulate are resolved on the host (first neighbor wins, like
+        # the reference's sequential loop order).
+        uv_a = jnp.asarray(m.kf_kp_uv[kf])
+        ray_a = self.cfg.unproject_fn(uv_a)
+        lvl_a = jnp.asarray(m.kf_kp_level[kf])
+        desc_a = jnp.asarray(m.kf_desc[kf])
+        ang_a = jnp.asarray(m.kf_kp_angle[kf])
+        free1_dev = jnp.asarray(free1)
+        pending = []
         for nb in neighbors:
             nb = int(nb)
             # Baseline / median-depth ratio gate (CreateNewMapPoints skips
@@ -129,27 +142,32 @@ class LocalMapper:
                 if baseline / max(med_depth, 1e-9) < 0.01:
                     continue
             free2 = m.kf_kp_valid[nb] & (m.kf_kp_lm[nb] == NO_LM)
-            uv_a = jnp.asarray(m.kf_kp_uv[kf])
             uv_b = jnp.asarray(m.kf_kp_uv[nb])
             out = triangulation_match.match_and_triangulate(
                 jnp.asarray(m.kf_R[kf]), jnp.asarray(m.kf_t[kf]),
                 jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]),
                 self.cfg.project_fn, jnp.float32(self.cfg.focal),
-                uv_a, self.cfg.unproject_fn(uv_a),
-                jnp.asarray(m.kf_kp_level[kf]),
-                jnp.asarray(m.kf_desc[kf]), jnp.asarray(free1),
+                uv_a, ray_a, lvl_a, desc_a, free1_dev,
                 uv_b, self.cfg.unproject_fn(uv_b),
                 jnp.asarray(m.kf_kp_level[nb]),
                 jnp.asarray(m.kf_desc[nb]), jnp.asarray(free2),
-                angle1=jnp.asarray(m.kf_kp_angle[kf]),
+                angle1=ang_a,
                 angle2=jnp.asarray(m.kf_kp_angle[nb]),
             )
-            good = np.asarray(out["good"])
+            pending.append((nb, out))
+        if not pending:
+            return
+        fetched = jax.device_get(
+            [(o["good"], o["idx2"], o["X"]) for _, o in pending])
+        # Phase 2: host-side binding, earlier neighbors take precedence on
+        # contested keypoints of kf.
+        for (nb, _), (good, idx2, Xall) in zip(pending, fetched):
+            good = good & free1
             if not good.any():
                 continue
             kp1 = np.nonzero(good)[0].astype(np.int32)
-            kp2 = np.asarray(out["idx2"])[kp1]
-            X = np.asarray(out["X"])[kp1]
+            kp2 = idx2[kp1]
+            X = Xall[kp1]
             lm_ids = m.add_landmarks(X, m.kf_desc[kf, kp1], kf,
                                      patches=m.kf_kp_patch[kf, kp1])
             m.bind(kf, kp1, lm_ids)
@@ -172,21 +190,25 @@ class LocalMapper:
         if lms_kf.size == 0:
             return
         obs = m.landmark_obs_count()
+        # Phase 1: dispatch the projection matcher for every neighbor
+        # (async), then fetch every result in ONE device->host round trip —
+        # a per-neighbor fetch pays the full link RTT each time.
+        L = 1024
+
+        def pad(a, fill=0):
+            if a.shape[0] >= L:
+                return a[:L]
+            return np.concatenate(
+                [a, np.full((L - a.shape[0], *a.shape[1:]), fill, a.dtype)]
+            )
+
+        pending = []
         for nb in neighbors:
             nb = int(nb)
             cand = lms_kf[~np.isin(lms_kf, m.kf_kp_lm[nb])]
             if cand.size == 0:
                 continue
-            L = 1024
             cand = cand[:L]
-
-            def pad(a, fill=0):
-                if a.shape[0] >= L:
-                    return a[:L]
-                return np.concatenate(
-                    [a, np.full((L - a.shape[0], *a.shape[1:]), fill, a.dtype)]
-                )
-
             lm_slot, ok, _ = track_match.match_local_map_auto(
                 cfg.project_fn, jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]),
                 jnp.asarray(pad(m.lm_pos[cand])),
@@ -201,10 +223,18 @@ class LocalMapper:
                 cfg.width, cfg.height, th=3.0, max_dist=50.0,
                 max_theta_deg=cfg.max_theta_deg,
             )
-            lm_slot = np.asarray(lm_slot)
-            ok = np.asarray(ok)
+            pending.append((nb, cand, lm_slot, ok))
+        if not pending:
+            return
+        fetched = jax.device_get([(p[2], p[3]) for p in pending])
+        # Phase 2: host-side binding / duplicate resolution.  A Replace in
+        # an earlier neighbor can invalidate a landmark a later result
+        # still names; those are skipped (lm_valid check).
+        for (nb, cand, _, _), (lm_slot, ok) in zip(pending, fetched):
             for kp in np.nonzero(ok)[0]:
                 lm_new = int(cand[min(lm_slot[kp], cand.size - 1)])
+                if not m.lm_valid[lm_new]:
+                    continue
                 lm_old = int(m.kf_kp_lm[nb, kp])
                 if lm_old == NO_LM:
                     m.kf_kp_lm[nb, kp] = lm_new
@@ -374,12 +404,13 @@ class LocalMapper:
         )
         upd = window[fixed[: window.size] == 0]
         sel = kf_index[upd].astype(np.int64)
-        m.kf_R[upd] = np.asarray(R)[sel]
-        m.kf_t[upd] = np.asarray(t)[sel]
-        m.lm_pos[lms] = np.asarray(X_new)[: lms.size]
+        R, t, X_new, chi2 = jax.device_get((R, t, X_new, chi2))
+        m.kf_R[upd] = R[sel]
+        m.kf_t[upd] = t[sel]
+        m.lm_pos[lms] = X_new[: lms.size]
         # Cull outlier observations at the chi2 gate (post-BA erase loop).
         # bundle_adjust returns sigma-normalized chi2 already.
-        chi2 = np.asarray(chi2)[: okf.size]
+        chi2 = chi2[: okf.size]
         if cfg.bf > 0:
             gate = np.where(m.kf_kp_ur[okf, okp] >= 0, CHI2_STEREO, CHI2_MONO)
         else:

@@ -44,8 +44,8 @@ class StereoTracker(MonoTracker):
                                  cfg.orb_config)
         with self.timers.stage("track/stereo_match"):
             u_r, depth, ok = stereo.match_stereo(
-                jnp.asarray(frame.uv_raw), jnp.asarray(frame.level),
-                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                jnp.asarray(frame.uv_raw), frame.dev("level"),
+                frame.dev("desc"), frame.dev("valid"),
                 fR.uv, fR.level, fR.desc, fR.valid,
                 jnp.asarray(img_left, jnp.float32),
                 jnp.asarray(img_right, jnp.float32),
@@ -207,14 +207,14 @@ class FisheyeStereoTracker(StereoTracker):
             fR = orb.extract_orb(jnp.asarray(img_right, jnp.float32),
                                  cfg_r.orb_config)
         with self.timers.stage("track/stereo_match"):
-            b_l = cfg.unproject_fn(jnp.asarray(frame.uv))
+            b_l = cfg.unproject_fn(frame.dev("uv"))
             b_r = cfg_r.unproject_fn(fR.uv)
             out = fisheye_stereo.match_stereo_fisheye(
                 cfg.project_fn, cfg_r.project_fn, jnp.float32(cfg.focal),
                 jnp.asarray(self.R_rl), jnp.asarray(self.t_rl),
-                jnp.asarray(frame.uv), b_l, jnp.asarray(frame.level),
-                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-                jnp.asarray(frame.angle),
+                frame.dev("uv"), b_l, frame.dev("level"),
+                frame.dev("desc"), frame.dev("valid"),
+                frame.dev("angle"),
                 fR.uv, b_r, fR.level, fR.desc, fR.valid, fR.angle,
             )
         ok = np.asarray(out["ok"])

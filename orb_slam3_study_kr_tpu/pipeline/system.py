@@ -344,7 +344,7 @@ class SlamSystem:
         for kf in cands:
             bound = m.kf_kp_lm[kf] != NO_LM
             idx, ok, _ = match_by_descriptor(
-                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                frame.dev("desc"), frame.dev("valid"),
                 jnp.asarray(m.kf_desc[kf]),
                 jnp.asarray(m.kf_kp_valid[kf] & bound),
             )
@@ -358,11 +358,11 @@ class SlamSystem:
             self._key, sub = jax.random.split(self._key)
             bearings = None
             if cfg.camera_model == "kb8":
-                bearings = cfg.unproject_fn(jnp.asarray(frame.uv))
+                bearings = cfg.unproject_fn(frame.dev("uv"))
             out = ransac_pnp(
                 sub, cfg.project_fn, cfg.project_jac_fn, cfg.K,
-                jnp.asarray(X), jnp.asarray(frame.uv),
-                jnp.asarray(frame.level), jnp.asarray(mask.astype(np.float32)),
+                jnp.asarray(X), frame.dev("uv"),
+                frame.dev("level"), jnp.asarray(mask.astype(np.float32)),
                 bearings=bearings,
             )
             if bool(out["success"]):

@@ -169,6 +169,18 @@ class TrackerConfig:
         return float(np.asarray(self.ideal_params)[0])
 
 
+def _np_se3_inverse(R, t):
+    """Host-side SE3 inverse: 3x3 work on tiny matrices must not pay a
+    device round trip in the per-frame path."""
+    Rt = np.ascontiguousarray(R.T)
+    return Rt, -(Rt @ t)
+
+
+def _np_se3_compose(Ra, ta, Rb, tb):
+    """(Ra, ta) @ (Rb, tb): apply b then a (host-side, see above)."""
+    return Ra @ Rb, Ra @ tb + ta
+
+
 @jax.jit
 def _undistort(cam_params, ideal_params, uv):
     rays = pinhole.unproject(cam_params, uv)
@@ -255,33 +267,46 @@ class MonoTracker:
                                     cfg.orb_config)
         # np.array (not asarray): uv/uv_raw/patch are mutated in place by
         # the KLT refinement, and device->host views are read-only.
-        uv_raw = np.array(feats.uv)
-        valid = np.asarray(feats.valid)
+        valid_dev = feats.valid
         if cfg.camera_model == "kb8":
             # Fisheye-native: keypoints stay in raw fisheye pixels (the
             # KB8 project_fn consumes/produces the same coordinates).
             # Validity only drops rays whose Newton unprojection fails to
             # round-trip (degenerate beyond the lens model) — NOT an FOV
             # crop; >90 deg off-axis keypoints remain live.
-            ray_ok = _ray_roundtrip_ok(cfg.cam_params, feats.uv)
-            uv_und = uv_raw
-            valid = valid & np.asarray(ray_ok)
+            valid_dev = valid_dev & _ray_roundtrip_ok(cfg.cam_params,
+                                                      feats.uv)
+            uv_dev = feats.uv
         else:
-            uv_und = np.array(
-                _undistort(cfg.cam_params, cfg.ideal_params, feats.uv))
+            uv_dev = _undistort(cfg.cam_params, cfg.ideal_params, feats.uv)
+        # ONE batched device->host fetch for the whole per-frame record: on
+        # a remote-attached chip every individual np.asarray pays a full
+        # round trip regardless of size.
+        uv_raw, uv_und, level, angle, response, desc, valid, patch = (
+            jax.device_get((feats.uv, uv_dev, feats.level, feats.angle,
+                            feats.response, feats.desc, valid_dev,
+                            feats.patch)))
+        uv_raw = np.array(uv_raw)
         frame = Frame(
             frame_id=self.frame_count,
             timestamp=timestamp,
-            uv=uv_und,
-            level=np.asarray(feats.level),
-            angle=np.asarray(feats.angle),
-            response=np.asarray(feats.response),
-            desc=np.asarray(feats.desc),
+            uv=np.array(uv_und),
+            level=level,
+            angle=angle,
+            response=response,
+            desc=desc,
             valid=valid,
-            patch=np.array(feats.patch),
+            patch=np.array(patch),
         )
         frame.uv_raw = uv_raw
         frame.pyr = pyr
+        # Keep the extractor's device outputs resident for the jitted
+        # match/optimize stages (no per-round re-upload).
+        frame.set_dev("uv", uv_dev)
+        frame.set_dev("level", feats.level)
+        frame.set_dev("desc", feats.desc)
+        frame.set_dev("valid", valid_dev)
+        frame.set_dev("angle", feats.angle)
         self.frame_count += 1
         self.stats["n_frames"] += 1
         return frame
@@ -309,13 +334,12 @@ class MonoTracker:
             return
         ref = self.init_ref
         idx, ok, _ = matching.search_for_initialization(
-            jnp.asarray(ref.uv), jnp.asarray(ref.desc), jnp.asarray(ref.angle),
-            jnp.asarray(ref.valid),
-            jnp.asarray(frame.uv), jnp.asarray(frame.desc),
-            jnp.asarray(frame.angle), jnp.asarray(frame.valid),
+            ref.dev("uv"), ref.dev("desc"), ref.dev("angle"),
+            ref.dev("valid"),
+            frame.dev("uv"), frame.dev("desc"),
+            frame.dev("angle"), frame.dev("valid"),
         )
-        idx = np.asarray(idx)
-        ok = np.asarray(ok)
+        idx, ok = jax.device_get((idx, ok))
         if ok.sum() < cfg.min_init_matches:
             self.init_ref = frame
             return
@@ -523,11 +547,10 @@ class MonoTracker:
         self.last_ok_ts = frame.timestamp
         # Velocity model update.
         Rl, tl = self.last_frame.R_cw, self.last_frame.t_cw
-        Rlw_inv, tlw_inv = se3.se3_inverse(jnp.asarray(Rl), jnp.asarray(tl))
-        Rv, tv = se3.se3_compose(
-            jnp.asarray(frame.R_cw), jnp.asarray(frame.t_cw), Rlw_inv, tlw_inv
-        )
-        self.velocity = (np.asarray(Rv), np.asarray(tv))
+        Rlw_inv, tlw_inv = _np_se3_inverse(np.asarray(Rl), np.asarray(tl))
+        self.velocity = _np_se3_compose(
+            np.asarray(frame.R_cw), np.asarray(frame.t_cw),
+            Rlw_inv, tlw_inv)
 
         # Localization-only mode never inserts keyframes (the reference's
         # mbOnlyTracking, System::ActivateLocalizationMode System.h:118).
@@ -537,11 +560,10 @@ class MonoTracker:
     # ------------------------------------------------------------------
     def _predict_pose(self):
         Rv, tv = self.velocity
-        R, t = se3.se3_compose(
-            jnp.asarray(Rv), jnp.asarray(tv),
-            jnp.asarray(self.last_frame.R_cw), jnp.asarray(self.last_frame.t_cw),
-        )
-        return np.asarray(R), np.asarray(t)
+        return _np_se3_compose(
+            np.asarray(Rv), np.asarray(tv),
+            np.asarray(self.last_frame.R_cw),
+            np.asarray(self.last_frame.t_cw))
 
     def _match_against_landmarks(self, frame, lm_ids, R_pred, t_pred, th,
                                  wide_gates=False):
@@ -569,14 +591,13 @@ class MonoTracker:
             cfg.project_fn, jnp.asarray(R_pred), jnp.asarray(t_pred),
             jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(min_d),
             jnp.asarray(max_d), jnp.asarray(desc), jnp.asarray(mask),
-            jnp.asarray(frame.uv), jnp.asarray(frame.level),
-            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            frame.dev("uv"), frame.dev("level"),
+            frame.dev("desc"), frame.dev("valid"),
             cfg.width, cfg.height, th=th,
             level_slack=7 if wide_gates else 1,
             max_theta_deg=cfg.max_theta_deg,
         )
-        lm_slot = np.asarray(lm_slot)
-        ok = np.asarray(ok)
+        lm_slot, ok, visible = jax.device_get((lm_slot, ok, visible))
         matched_lm = np.where(ok, lm_ids[np.clip(lm_slot, 0, lm_ids.size - 1)], NO_LM)
         matched_lm = matched_lm.astype(np.int32)
         # Appearance verification: the match's oriented intensity patch must
@@ -598,7 +619,7 @@ class MonoTracker:
                 z = (_norm(p1) * _norm(p2)).sum(1)
                 matched_lm[sel[z < cfg.patch_zncc_min]] = NO_LM
         matched_lm = self._klt_refine_matches(frame, matched_lm)
-        return matched_lm, np.asarray(visible), lm_ids
+        return matched_lm, visible, lm_ids
 
     def _klt_refine_matches(self, frame, matched_lm):
         """Photometric verification + sub-pixel refinement of descriptor
@@ -618,11 +639,14 @@ class MonoTracker:
         tmpl = m.lm_patch[np.clip(matched_lm, 0, m.max_lm - 1)]
         uv_ref, zncc, shift, win = _klt.klt_refine(
             frame.pyr, self._level_wh, jnp.asarray(frame.uv_raw),
-            jnp.asarray(frame.level), jnp.asarray(frame.angle),
+            frame.dev("level"), frame.dev("angle"),
             jnp.asarray(tmpl), jnp.asarray(mask),
             max_shift=cfg.klt_max_shift)
-        zncc = np.asarray(zncc)
-        shift = np.asarray(shift)
+        if cfg.klt_move_obs:
+            uv_ref, zncc, shift, win = jax.device_get(
+                (uv_ref, zncc, shift, win))
+        else:
+            zncc, shift = jax.device_get((zncc, shift))
         good = mask & (zncc >= cfg.klt_zncc_min) & (shift < cfg.klt_max_shift)
         if good.any() and cfg.klt_move_obs:
             uv_ref = np.asarray(uv_ref)
@@ -634,6 +658,7 @@ class MonoTracker:
                 und = np.asarray(_undistort(cfg.cam_params, cfg.ideal_params,
                                             jnp.asarray(uv_ref)))
             frame.uv[good] = und[good]
+            frame.invalidate_dev("uv")
             # Stereo: carry the right-image coordinate along (the disparity
             # was measured at the pre-refinement left position).
             if frame.u_r is not None:
@@ -662,14 +687,15 @@ class MonoTracker:
         R, t, inl, n_inl = optimize_pose(
             cfg.project_fn, cfg.project_jac_fn,
             jnp.asarray(R0), jnp.asarray(t0),
-            jnp.asarray(X), jnp.asarray(frame.uv),
-            jnp.asarray(frame.level), jnp.asarray(mask.astype(np.float32)),
+            jnp.asarray(X), frame.dev("uv"),
+            frame.dev("level"), jnp.asarray(mask.astype(np.float32)),
             wide_fov=cfg.camera_model == "kb8",
             **stereo_kw,
         )
-        inl = np.asarray(inl) & mask
-        frame.R_cw = np.asarray(R)
-        frame.t_cw = np.asarray(t)
+        R, t, inl = jax.device_get((R, t, inl))
+        inl = inl & mask
+        frame.R_cw = np.array(R)
+        frame.t_cw = np.array(t)
         # Unbind outliers (reference clears mvpMapPoints for outliers).
         frame.kp_lm = np.where(inl, frame.kp_lm, NO_LM).astype(np.int32)
         return int(inl.sum())
@@ -730,12 +756,11 @@ class MonoTracker:
         if (matched_lm != NO_LM).sum() < cfg.min_track_matches:
             bound = m.kf_kp_lm[kf] != NO_LM
             idx, ok, _ = track_match.match_by_descriptor(
-                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                frame.dev("desc"), frame.dev("valid"),
                 jnp.asarray(m.kf_desc[kf]),
                 jnp.asarray(m.kf_kp_valid[kf] & bound),
             )
-            idx = np.asarray(idx)
-            ok = np.asarray(ok)
+            idx, ok = jax.device_get((idx, ok))
             matched_lm = np.where(ok, m.kf_kp_lm[kf][idx], NO_LM).astype(np.int32)
         if (matched_lm != NO_LM).sum() < cfg.min_track_matches:
             return False
@@ -866,12 +891,11 @@ class MonoTracker:
         ref = frame.ref_kf if frame.ref_kf >= 0 else self.ref_kf
         if ref >= 0:
             Rr, tr = m.kf_R[ref], m.kf_t[ref]
-            Ri, ti = se3.se3_inverse(jnp.asarray(Rr), jnp.asarray(tr))
-            Rrel, trel = se3.se3_compose(
-                jnp.asarray(frame.R_cw), jnp.asarray(frame.t_cw), Ri, ti
-            )
+            Ri, ti = _np_se3_inverse(np.asarray(Rr), np.asarray(tr))
+            Rrel, trel = _np_se3_compose(
+                np.asarray(frame.R_cw), np.asarray(frame.t_cw), Ri, ti)
             self.trajectory.append(
-                (frame.timestamp, ref, np.asarray(Rrel), np.asarray(trel),
+                (frame.timestamp, ref, Rrel, trel,
                  self.state, frame.pose_ok, self.map)
             )
 
