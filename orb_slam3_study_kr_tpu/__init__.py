@@ -41,13 +41,21 @@ _jax.config.update("jax_default_matmul_precision", "float32")
 
 # Persistent XLA compilation cache: the pipeline's fixed-shape stages are
 # bucketed, so every bucket's compile (tens of seconds on TPU) is paid at
-# most once per machine instead of once per process.
+# most once per machine instead of once per process.  The cache directory
+# is scoped by the JAX platform selection AND the host machine: a
+# remote-attached TPU process compiles its *CPU* executables against the
+# relay host's CPU features, and a local CPU process loading those AOT
+# results can SIGILL (observed: +prefer-no-scatter mismatch).
 import os as _os
+import platform as _platform
 
 if not _jax.config.jax_compilation_cache_dir:
+    _scope = (f"{_platform.node()}-"
+              f"{_os.environ.get('JAX_PLATFORMS', 'default')}")
     _jax.config.update(
         "jax_compilation_cache_dir",
         _os.environ.get(
             "ORB_SLAM3_TPU_JAX_CACHE",
-            _os.path.expanduser("~/.cache/orb_slam3_study_kr_tpu/jax")))
+            _os.path.expanduser(
+                f"~/.cache/orb_slam3_study_kr_tpu/jax-{_scope}")))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

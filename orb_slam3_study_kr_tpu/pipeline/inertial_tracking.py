@@ -25,7 +25,8 @@ from orb_slam3_study_kr_tpu.pipeline.stereo_tracking import (
 from orb_slam3_study_kr_tpu.pipeline.tracking import MonoTracker, TrackState
 from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM
 from orb_slam3_study_kr_tpu.solvers.inertial import (
-    inertial_only_optimization, pose_inertial_optimization)
+    estimate_gyro_bias, inertial_only_optimization,
+    pose_inertial_optimization, pose_inertial_optimization_last_frame)
 from orb_slam3_study_kr_tpu.solvers.inertial_ba import inertial_bundle_adjust
 from orb_slam3_study_kr_tpu.solvers.robust import CHI2_MONO, CHI2_STEREO
 
@@ -88,12 +89,20 @@ class ImuMixin:
         # visual pose noise (measured: 0.2 s spacing -> 50%+ scale error,
         # 0.8 s -> <1% on the synthetic oracle).
         self.imu_init_spacing = init_spacing
+        # Starvation deadline past t1 before the first init force-accepts
+        # a best-effort solve (see _maybe_imu_init).
+        self.imu_init_starve_patience = 1.5
         self.imu_stage = 0            # 0 = vision only; 1/2/3 = init stages
         self.bias = np.zeros(6, np.float32)
         self._imu_log = []            # (frame_ts, rows): samples ending at ts
         self.kf_imu = {}              # kf_id -> (prev_kf_id, rows (M,7))
         self._pre_frame = None        # Preintegrated last frame -> current
         self._pred_v = None
+        # 15-D marginal prior on the last frame's body state
+        # (ConstraintPoseImu): carried between consecutive frame solves
+        # while the map stays unchanged, reset on any map update.
+        self._prior_info = None
+        self._prior_change_idx = -1
         self._first_kf_ts = None
         self._last_glitch_ts = -1e9  # last tracking hiccup (init excludes it)
         self._prev_kf_id = None      # temporal mPrevKF chain tail
@@ -200,18 +209,39 @@ class ImuMixin:
         v_init = getattr(self, "_pred_v", None)
         if v_init is None:
             v_init = lf.v_w
-        R, p, v, bias, inl = pose_inertial_optimization(
-            cfg.project_fn,
-            jnp.asarray(R_wb0), jnp.asarray(p_wb0), jnp.asarray(lf.v_w),
-            jnp.asarray(self.bias), self._pre_frame,
+        # Reference dispatch (Tracking.cc:3009-3021): after a map update
+        # (BA / new KF / loop moved poses) anchor hard on the last frame's
+        # re-estimated state; otherwise chain through the last frame as a
+        # FREE vertex under its 15-D marginal prior
+        # (PoseInertialOptimizationLastFrame, Optimizer.cc:4883) and carry
+        # the Schur-marginalized information forward.
+        map_updated = self.map.change_idx != self._prior_change_idx
+        common = (
             jnp.asarray(R_wbi), jnp.asarray(p_wbi), jnp.asarray(v_init),
             jnp.asarray(self._R_cb), jnp.asarray(self._t_cb),
             jnp.asarray(X), frame.dev("uv"),
             frame.dev("level"), jnp.asarray(mask.astype(np.float32)),
-            wide_fov=cfg.camera_model == "kb8",
         )
-        inl = np.asarray(inl) & mask
-        R_cw, t_cw = _cam_from_body(np.asarray(R), np.asarray(p),
+        if not map_updated and self._prior_info is not None:
+            R, p, v, bias, inl, info = pose_inertial_optimization_last_frame(
+                cfg.project_fn,
+                jnp.asarray(R_wb0), jnp.asarray(p_wb0), jnp.asarray(lf.v_w),
+                jnp.asarray(self.bias),
+                jnp.asarray(self._prior_info, jnp.float32), self._pre_frame,
+                *common, wide_fov=cfg.camera_model == "kb8",
+            )
+        else:
+            R, p, v, bias, inl, info = pose_inertial_optimization(
+                cfg.project_fn,
+                jnp.asarray(R_wb0), jnp.asarray(p_wb0), jnp.asarray(lf.v_w),
+                jnp.asarray(self.bias), self._pre_frame,
+                *common, wide_fov=cfg.camera_model == "kb8",
+            )
+        R, p, v, bias, inl, info = jax.device_get((R, p, v, bias, inl, info))
+        self._prior_info = info if np.isfinite(info).all() else None
+        self._prior_change_idx = self.map.change_idx
+        inl = inl & mask
+        R_cw, t_cw = _cam_from_body(R, p,
                                     np.asarray(self.calib.R_bc),
                                     np.asarray(self.calib.t_bc))
         frame.R_cw = R_cw.astype(np.float32)
@@ -320,22 +350,97 @@ class ImuMixin:
             if len(sel) >= b:
                 sel = sel[-b:]
                 break
-        rows = [self._rows_between(float(ts[a]), float(ts[b]))
-                for a, b in zip(sel[:-1], sel[1:])]
         priors = {1: (1e2, 1e10), 2: (1.0, 1e5), 3: (0.0, 0.0)}[target]
-        if self._run_imu_init(sel, rows, priors, frame):
+        # Starvation deadline: the reference initializes unconditionally on
+        # schedule (LocalMapping.cc:187-249); our consistency gate may
+        # starve forever on a jittery visual map.  Past t1 + patience,
+        # accept the best-effort solve — the VIBA/refinement stages exist
+        # precisely to fix a coarse first alignment.
+        force = (self.imu_stage == 0
+                 and elapsed > t1 + self.imu_init_starve_patience)
+        ok = False
+        for attempt in range(3):
+            rows = [self._rows_between(float(ts[a]), float(ts[b]))
+                    for a, b in zip(sel[:-1], sel[1:])]
+            ok = self._run_imu_init(sel, rows, priors, frame)
+            if ok or self.imu_stage > 0 or len(sel) <= 5:
+                break
+            # Glitch-KF excision: a tracking hiccup leaves one keyframe
+            # with a broken-scale pose; its two inertial edges dominate the
+            # whitened residuals.  Drop the interior chain keyframe
+            # touching the worst edge and re-solve.
+            norms = np.asarray(self.stats.get("imu_init_edge_norms"))
+            if norms is None or norms.size != len(sel) - 1:
+                break
+            e = int(np.argmax(norms))
+            cand_j = [j for j in (e, e + 1) if 0 < j < len(sel) - 1]
+            if not cand_j:
+                break
+
+            def _adj(j):
+                s = norms[j - 1] if j - 1 >= 0 else 0.0
+                s += norms[j] if j < norms.size else 0.0
+                return s
+
+            j = max(cand_j, key=_adj)
+            sel = sel[:j] + sel[j + 1:]
+            self.stats["imu_init_excised"] = (
+                self.stats.get("imu_init_excised", 0) + 1)
+        if not ok and force:
+            rows = [self._rows_between(float(ts[a]), float(ts[b]))
+                    for a, b in zip(sel[:-1], sel[1:])]
+            ok = self._run_imu_init(sel, rows, priors, frame, force=True)
+        if ok:
             self.imu_stage = target
             if target >= 3:
                 # Final refinement stage done (Map::SetInertialBA2): the
                 # bias is mature, keyframe culling may widen temporal gaps.
                 self.map.imu_ba2 = True
 
-    def _run_imu_init(self, chain, rows, priors, frame):
+    def _robust_gyro_bias(self):
+        """Seed self.bias[:3] from the robust rotation-only solve over ALL
+        consecutive keyframe pairs (denser than the subsampled init chain;
+        Huber rejects glitched intervals).  See solvers.inertial.
+        estimate_gyro_bias."""
+        m = self.map
+        kfs = np.nonzero(m.kf_valid)[0]
+        ts = m.kf_timestamp[kfs]
+        order = np.argsort(ts, kind="stable")
+        kfs, ts = kfs[order], ts[order]
+        if kfs.size < 4:
+            return
+        R_bc = np.asarray(self.calib.R_bc)
+        t_bc = np.asarray(self.calib.t_bc)
+        R1, R2, pres = [], [], []
+        for a, b in zip(kfs[:-1], kfs[1:]):
+            rows = self._rows_between(float(m.kf_timestamp[a]),
+                                      float(m.kf_timestamp[b]))
+            if rows.shape[0] == 0:
+                continue
+            R1.append(_body_from_cam(m.kf_R[a], m.kf_t[a], R_bc, t_bc)[0])
+            R2.append(_body_from_cam(m.kf_R[b], m.kf_t[b], R_bc, t_bc)[0])
+            pres.append(_preintegrate_rows(rows, self.bias, self.calib,
+                                           KF_BUCKETS))
+        if len(pres) < 3:
+            return
+        pre_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
+        bg, w = jax.device_get(estimate_gyro_bias(
+            jnp.asarray(np.stack(R1), jnp.float32),
+            jnp.asarray(np.stack(R2), jnp.float32), pre_stack))
+        if np.isfinite(bg).all() and np.abs(bg).max() < 1.0:
+            self.bias = self.bias.copy()
+            self.bias[:3] = bg
+            self.stats["gyro_bias_edges_down"] = int((w < 0.99).sum())
+
+    def _run_imu_init(self, chain, rows, priors, frame, force=False):
         """InertialOptimization over the keyframe chain, then
-        ApplyScaledRotation (LocalMapping::InitializeIMU)."""
+        ApplyScaledRotation (LocalMapping::InitializeIMU).  With `force`
+        the consistency gate is skipped (starvation deadline — only the
+        basic finiteness/scale-range sanity checks remain)."""
         m, cfg = self.map, self.cfg
         R_bc = np.asarray(self.calib.R_bc)
         t_bc = np.asarray(self.calib.t_bc)
+        self._robust_gyro_bias()
         R_wb_list, p_wb_list = [], []
         for k in chain:
             R_wb, p_wb = _body_from_cam(m.kf_R[k], m.kf_t[k], R_bc, t_bc)
@@ -365,7 +470,8 @@ class ImuMixin:
             # brought down and the fitted scale is meaningless — retry at
             # the next keyframe instead of poisoning the map (measured:
             # healthy solves sit at median norm ~30-80, corrupted at 200+).
-            if float(np.median(np.asarray(out["edge_norms"]))) > 100.0:
+            if (not force and
+                    float(np.median(np.asarray(out["edge_norms"]))) > 100.0):
                 return False
         else:
             # Refinement stages (the reference applies VIBA1/VIBA2

@@ -285,6 +285,175 @@ def pose_inertial_optimization(
     (x, _), _ = jax.lax.scan(gn_step, (x0, jnp.float32(damping)), None,
                              length=n_iters)
     R, p, v, bias = unpack(x)
-    _, chi2 = weights(x)
+    w_vis, chi2 = weights(x)
     inliers = (chi2 <= robust.CHI2_MONO) & (obs_mask > 0)
-    return R, p, v, bias, inliers
+    # Gauss-Newton information of the current state at the optimum: the
+    # 15-D marginal prior carried to the next frame's solve (the fixed
+    # anchor makes the Schur reduction trivial — H_cc itself; reference
+    # ConstraintPoseImu, G2oTypes.h:706, built at Optimizer.cc:4842-4852).
+    J = jax.jacfwd(lambda xx: residuals(xx, w_vis))(x)
+    info = J.T @ J
+    return R, p, v, bias, inliers, info
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def estimate_gyro_bias(R1, R2, pre_stack, edge_mask=None, n_iters=10):
+    """Robust gyro-bias-only estimation from visual rotations.
+
+    Solves min_bg sum_e huber(|log((dR_e exp(JRg_e (bg - b_e)))^T
+    R1_e^T R2_e)|) over consecutive keyframe rotation pairs — the separate
+    first step of visual-inertial initialization (Mur-Artal & Tardos 2017,
+    ORB-SLAM-VI; the reference folds it into InertialOptimization, which
+    makes the bias estimate hostage to any single glitched keyframe
+    rotation in the window).  The Huber weight re-derived from the running
+    median each iteration rejects discrete mis-registration steps that a
+    joint least-squares fit would average into the bias.
+
+    R1, R2: (E, 3, 3) body rotations at the edge endpoints.
+    Returns (bg (3,), edge_weights (E,)).
+    """
+    E = R1.shape[0]
+    if edge_mask is None:
+        edge_mask = jnp.ones(E, R1.dtype)
+
+    def res(bg):
+        def one(e):
+            pre = jax.tree_util.tree_map(lambda a: a[e], pre_stack)
+            dR = pre.dR @ exp_so3(pre.JRg @ (bg - pre.bias[:3]))
+            return log_so3(dR.T @ R1[e].T @ R2[e])
+        return jax.vmap(one)(jnp.arange(E))
+
+    def step(bg, _):
+        r = res(bg)                                   # (E, 3)
+        nrm = jnp.linalg.norm(r, axis=1)
+        big = jnp.where(edge_mask > 0, nrm, jnp.inf)
+        med = jnp.nanmedian(jnp.where(jnp.isinf(big), jnp.nan, big))
+        delta = 3.0 * jnp.maximum(med, 1e-5)
+        w = edge_mask * jnp.minimum(1.0, delta / jnp.maximum(nrm, 1e-12))
+        J = jax.jacfwd(res)(bg)                       # (E, 3, 3)
+        H = jnp.einsum("eij,e,eik->jk", J, w, J)
+        gvec = jnp.einsum("eij,e,ei->j", J, w, r)
+        bg = bg - jnp.linalg.solve(H + 1e-9 * jnp.eye(3, dtype=bg.dtype),
+                                   gvec)
+        return bg, None
+
+    bg0 = pre_stack.bias[0, :3]
+    bg, _ = jax.lax.scan(step, bg0, None, length=n_iters)
+    r = res(bg)
+    nrm = jnp.linalg.norm(r, axis=1)
+    big = jnp.where(edge_mask > 0, nrm, jnp.inf)
+    med = jnp.nanmedian(jnp.where(jnp.isinf(big), jnp.nan, big))
+    w = edge_mask * jnp.minimum(
+        1.0, 3.0 * jnp.maximum(med, 1e-5) / jnp.maximum(nrm, 1e-12))
+    return bg, w
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("project_fn", "n_iters", "wide_fov"))
+def pose_inertial_optimization_last_frame(
+    project_fn,
+    R_wb0, p_wb0, v_w0, bias0,       # previous-frame body state (free)
+    prior_info,                      # (15, 15) marginal information on it
+    pre: Preintegrated,              # window prev frame -> current
+    R_wb_init, p_wb_init, v_w_init,  # current-state initialization
+    R_cb, t_cb,                      # camera <- body extrinsics
+    X, uv_obs, level, obs_mask,      # visual obs of the current frame
+    n_iters=10, damping=1e-3,
+    wide_fov=False,
+):
+    """PoseInertialOptimizationLastFrame (Optimizer.cc:4883): joint 30-dof
+    solve over [previous frame, current frame].  The previous frame is NOT
+    fixed — it carries the 15-D marginal prior (ConstraintPoseImu /
+    EdgePriorPoseImu, G2oTypes.h:706,732) produced by its own solve, so
+    drift-relevant uncertainty propagates frame to frame instead of being
+    re-anchored at a pretended-perfect last pose.  After the solve the
+    previous state is marginalized out by a Schur complement
+    (Optimizer.cc:2967 Marginalize) and the reduced information on the
+    current state is returned as the next frame's prior.
+
+    Returns (R, p, v, bias, inliers, new_prior_info) for the current frame.
+    """
+    inv_sigma2 = robust.octave_inv_sigma2(level)
+    Wm = _edge_weights(jax.tree_util.tree_map(lambda a: a[None], pre))[0]
+    g = GRAVITY
+
+    # Whiten the prior: W_prior = chol(info)^T so that
+    # |W_prior dx_prev|^2 = dx_prev^T info dx_prev.
+    prior_sqrt = jnp.linalg.cholesky(
+        prior_info + 1e-8 * jnp.eye(15, dtype=prior_info.dtype)
+    ).T
+
+    def unpack(x):
+        dRp = exp_so3(x[0:3])
+        Rp = R_wb0 @ dRp
+        pp = p_wb0 + x[3:6]
+        vp = v_w0 + x[6:9]
+        bp = bias0 + x[9:15]
+        dRc = exp_so3(x[15:18])
+        Rc = R_wb_init @ dRc
+        pc_ = p_wb_init + x[18:21]
+        vc = v_w_init + x[21:24]
+        bc = bias0 + x[24:30]
+        return (Rp, pp, vp, bp), (Rc, pc_, vc, bc)
+
+    def visual_residuals(R, p):
+        R_cw = R_cb @ R.T
+        t_cw = -R_cw @ p + t_cb
+        pcam = X @ R_cw.T + t_cw
+        return project_fn(pcam) - uv_obs, pcam
+
+    # Bias random-walk whitening between the two frames (EdgeGyroRW/AccRW).
+    w_bg = 1.0 / jnp.sqrt(jnp.maximum(pre.cov[9, 9], 1e-12))
+    w_ba = 1.0 / jnp.sqrt(jnp.maximum(pre.cov[12, 12], 1e-12))
+    w_bias = jnp.concatenate([jnp.full(3, w_bg), jnp.full(3, w_ba)])
+
+    def residuals(x, w_vis):
+        (Rp, pp, vp, bp), (Rc, pc_, vc, bc) = unpack(x)
+        r_vis, _ = visual_residuals(Rc, pc_)
+        r_inr = Wm @ _edge_residual(Rp, pp, vp, Rc, pc_, vc, bp, pre, g)
+        r_rw = (bc - bp) * w_bias
+        r_prior = prior_sqrt @ x[0:15]
+        return jnp.concatenate([
+            (r_vis * w_vis[:, None]).reshape(-1), r_inr, r_rw, r_prior
+        ])
+
+    def weights(x):
+        _, (Rc, pc_, _, _) = unpack(x)
+        r_vis, pcam = visual_residuals(Rc, pc_)
+        chi2 = jnp.sum(r_vis * r_vis, -1) * inv_sigma2
+        w = obs_mask * inv_sigma2 * robust.huber_weight(chi2, robust.HUBER_MONO)
+        cheir = (jnp.linalg.norm(pcam, axis=-1) > 1e-3) if wide_fov \
+            else (pcam[:, 2] > 1e-3)
+        w = w * cheir
+        return jnp.sqrt(jnp.maximum(w, 0.0)), chi2
+
+    def gn_step(carry, _):
+        x, lam = carry
+        w_vis, _ = weights(x)
+        r = residuals(x, w_vis)
+        J = jax.jacfwd(lambda xx: residuals(xx, w_vis))(x)
+        H = J.T @ J + lam * jnp.eye(30, dtype=x.dtype)
+        dx = -jnp.linalg.solve(H, J.T @ r)
+        x_new = x + dx
+        better = jnp.sum(residuals(x_new, w_vis) ** 2) < jnp.sum(r ** 2)
+        x = jnp.where(better, x_new, x)
+        lam = jnp.where(better, jnp.maximum(lam * 0.5, 1e-7),
+                        jnp.minimum(lam * 5.0, 1e4))
+        return (x, lam), None
+
+    x0 = jnp.zeros(30, jnp.float32)
+    (x, _), _ = jax.lax.scan(gn_step, (x0, jnp.float32(damping)), None,
+                             length=n_iters)
+    _, (R, p, v, bias) = unpack(x)
+    w_vis, chi2 = weights(x)
+    inliers = (chi2 <= robust.CHI2_MONO) & (obs_mask > 0)
+    # Marginalize the previous state: new current-frame information is the
+    # Schur complement H_cc - H_cp H_pp^{-1} H_pc of the GN Hessian at the
+    # optimum (Optimizer.cc:2967 Marginalize + :5244-5260 prior update).
+    J = jax.jacfwd(lambda xx: residuals(xx, w_vis))(x)
+    H = J.T @ J
+    H_pp = H[:15, :15] + 1e-6 * jnp.eye(15, dtype=H.dtype)
+    H_pc = H[:15, 15:]
+    H_cc = H[15:, 15:]
+    new_info = H_cc - H_pc.T @ jnp.linalg.solve(H_pp, H_pc)
+    return R, p, v, bias, inliers, new_info

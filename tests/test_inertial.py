@@ -93,6 +93,33 @@ def test_inertial_init_recovers_gravity_scale_bias(rng):
     assert np.linalg.norm(v_est - v_kf, axis=1).max() < 0.05
 
 
+def test_estimate_gyro_bias_rejects_glitch(rng):
+    """Robust rotation-only gyro-bias solve: a single keyframe with a
+    2-degree mis-registered rotation (a tracking glitch) must be rejected
+    by the Huber reweighting; the recovered bias stays within 1e-3 of
+    truth, where a plain least-squares average would be pulled off by the
+    glitch edge."""
+    from orb_slam3_study_kr_tpu.solvers.inertial import estimate_gyro_bias
+
+    bias = np.array([0.004, -0.002, 0.003, 0.0, 0.0, 0.0], np.float32)
+    R_kf, p_kf, v_kf, pre_stack, _, _ = _simulate_trajectory(
+        rng, n_kf=12, bias=bias)
+    R_kf = np.array(R_kf)
+    # Glitch: rotate keyframe 5 by 2 degrees about y.
+    glitch = np.asarray(lie.exp_so3(
+        jnp.asarray([0.0, np.radians(2.0), 0.0], jnp.float32)))
+    R_kf[5] = R_kf[5] @ glitch
+    R1 = jnp.asarray(R_kf[:-1], jnp.float32)
+    R2 = jnp.asarray(R_kf[1:], jnp.float32)
+    bg, w = estimate_gyro_bias(R1, R2, pre_stack)
+    bg = np.asarray(bg)
+    w = np.asarray(w)
+    np.testing.assert_allclose(bg, bias[:3], atol=1e-3)
+    # The two edges touching the glitched keyframe are downweighted.
+    assert w[4] < 0.5 and w[5] < 0.5
+    assert (w[np.r_[0:4, 6:11]] > 0.9).all()
+
+
 def test_inertial_init_fixed_scale(rng):
     R_kf, p_kf, v_kf, pre_stack, R_wg_gt, _ = _simulate_trajectory(rng)
     out = inertial_only_optimization(
@@ -128,7 +155,7 @@ def test_pose_inertial_optimization(rng):
     p_init = p1 + np.asarray([0.05, -0.04, 0.06], np.float32)
     v_init = v1 + np.asarray([0.2, -0.1, 0.1], np.float32)
 
-    R_f, p_f, v_f, bias_f, inl = pose_inertial_optimization(
+    R_f, p_f, v_f, bias_f, inl, info = pose_inertial_optimization(
         project,
         jnp.asarray(R_kf[0], jnp.float32), jnp.asarray(p_kf[0], jnp.float32),
         jnp.asarray(v_kf[0], jnp.float32), jnp.zeros(6, jnp.float32),
@@ -145,3 +172,60 @@ def test_pose_inertial_optimization(rng):
     assert np.linalg.norm(np.asarray(p_f) - p1) < 0.01
     assert np.linalg.norm(np.asarray(v_f) - v1) < 0.1
     assert int(inl.sum()) > 180
+    # The marginal information must be symmetric PSD and visibly
+    # constrain the pose block (hundreds of visual observations).
+    info = np.asarray(info, np.float64)
+    assert np.allclose(info, info.T, atol=1e-2)
+    assert np.linalg.eigvalsh(info)[0] > -1e-3
+    assert np.trace(info[:6, :6]) > 1.0
+
+
+def test_pose_inertial_last_frame_prior(rng):
+    """PoseInertialOptimizationLastFrame: with a strong prior on the
+    previous frame the joint solve must land on the same optimum as the
+    fixed-anchor variant; with a weak prior the previous state is free to
+    absorb inconsistency (solution still converges)."""
+    from orb_slam3_study_kr_tpu.solvers.inertial import (
+        pose_inertial_optimization_last_frame)
+
+    R_kf, p_kf, v_kf, pre_stack, _, _ = _simulate_trajectory(
+        rng, n_kf=2, g_tilt=(0.0, 0.0))
+    pre = jax.tree_util.tree_map(lambda a: a[0], pre_stack)
+    cam = jnp.asarray([458.0, 457.0, 376.0, 240.0, 0, 0, 0, 0, 0],
+                      jnp.float32)
+    project = functools.partial(pinhole.project, cam)
+    N = 200
+    R1, p1, v1 = R_kf[1], p_kf[1], v_kf[1]
+    pc = np.stack([rng.uniform(-3, 3, N), rng.uniform(-2, 2, N),
+                   rng.uniform(4, 10, N)], -1).astype(np.float32)
+    X = pc @ R1.T + p1
+    uv = np.asarray(project(jnp.asarray(pc)))
+    uv = uv + rng.normal(0, 0.4, uv.shape).astype(np.float32)
+
+    dR = np.asarray(lie.exp_so3(jnp.asarray([0.01, -0.02, 0.01],
+                                            jnp.float32)))
+    R_init = R1 @ dR
+    p_init = p1 + np.asarray([0.05, -0.04, 0.06], np.float32)
+    v_init = v1 + np.asarray([0.2, -0.1, 0.1], np.float32)
+
+    strong = jnp.eye(15, dtype=jnp.float32) * 1e8
+    R_f, p_f, v_f, b_f, inl, info = pose_inertial_optimization_last_frame(
+        project,
+        jnp.asarray(R_kf[0], jnp.float32), jnp.asarray(p_kf[0], jnp.float32),
+        jnp.asarray(v_kf[0], jnp.float32), jnp.zeros(6, jnp.float32),
+        strong, pre,
+        jnp.asarray(R_init, jnp.float32), jnp.asarray(p_init, jnp.float32),
+        jnp.asarray(v_init, jnp.float32),
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        jnp.asarray(X), jnp.asarray(uv), jnp.zeros(N, jnp.int32),
+        jnp.ones(N, jnp.float32),
+        n_iters=15,
+    )
+    c = (np.trace(np.asarray(R_f) @ R1.T) - 1) / 2
+    assert np.degrees(np.arccos(np.clip(c, -1, 1))) < 0.1
+    assert np.linalg.norm(np.asarray(p_f) - p1) < 0.02
+    assert np.linalg.norm(np.asarray(v_f) - v1) < 0.1
+    assert int(inl.sum()) > 180
+    info = np.asarray(info, np.float64)
+    assert np.allclose(info, info.T, atol=1e-2)
+    assert np.isfinite(info).all()
