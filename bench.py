@@ -100,17 +100,31 @@ def main():
     # --- BA scaling table (virtual CPU mesh; real multi-chip when available)
     scaling = _ba_scaling((1, 2, 4, 8))
 
+    # Sharding overhead efficiency: N-device sharded runtime vs the same
+    # TOTAL problem on 1 device.  On this 2-core host, virtual devices
+    # share cores, so compute speedup is physically impossible — what this
+    # measures is the overhead the sharded path (shard_map + psum) adds,
+    # the component that is actually in our control; on a real N-chip
+    # slice the per-chip compute is 1/N and parallel.
+    eff = None
+    if scaling.get("1") and scaling.get("8"):
+        eff = round(scaling["8"] / scaling["1"], 3)
+
     print(json.dumps({
         "metric": "tracking_frames_per_s",
         "value": round(fps, 2),
         "unit": "frames/s (752x480, 1000 feat, 2048-landmark local map)",
         "vs_baseline": round(fps / 20.0, 3),
+        "baseline_def": "EuRoC dataset pacing 20 fps (reference claims "
+                        "real-time on i7, BASELINE.md)",
         "system_frames_per_s": round(sys_fps, 2),
         "ba_iters_per_s": round(ba_iters_per_s, 2),
         "ba_pcg_iters_per_s": round(ba_pcg_iters_per_s, 2),
         "ba_problem": f"K={K} M={M} O={O}",
         "matcher_ms": match_ms,
         "ba_scaling_cpu_mesh": scaling,
+        "ba_sharding_overhead_efficiency": eff,
+        "host_cores": __import__("os").cpu_count(),
         "device": str(jax.devices()[0]),
     }))
 

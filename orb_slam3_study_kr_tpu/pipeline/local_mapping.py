@@ -161,6 +161,7 @@ class LocalMapper:
             [(o["good"], o["idx2"], o["X"]) for _, o in pending])
         # Phase 2: host-side binding, earlier neighbors take precedence on
         # contested keypoints of kf.
+        created = []
         for (nb, _), (good, idx2, Xall) in zip(pending, fetched):
             good = good & free1
             if not good.any():
@@ -172,10 +173,12 @@ class LocalMapper:
                                      patches=m.kf_kp_patch[kf, kp1])
             m.bind(kf, kp1, lm_ids)
             m.bind(nb, kp2, lm_ids)
-            m.update_landmark_stats(lm_ids)
+            created.append(lm_ids)
             self.recent.extend((int(l), kf) for l in lm_ids)
             self.stats["n_created"] += lm_ids.size
             free1 = m.kf_kp_valid[kf] & (m.kf_kp_lm[kf] == NO_LM)
+        if created:
+            m.update_landmark_stats(np.concatenate(created))
 
     # ------------------------------------------------------------------
     def _fuse_neighbors(self, kf: int):

@@ -267,57 +267,94 @@ class MapState:
 
     # ---------------- landmark statistics ----------------
 
-    def update_landmark_stats(self, lm_ids):
+    _POPCNT8 = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+
+    def update_landmark_stats(self, lm_ids, max_obs=16):
         """Recompute viewing normal, scale band and representative descriptor
         for the given landmarks (MapPoint::UpdateNormalAndDepth +
-        ComputeDistinctiveDescriptors)."""
-        lm_ids = np.asarray(lm_ids)
+        ComputeDistinctiveDescriptors).
+
+        Fully vectorized over (landmark, observation-slot): the newest
+        `max_obs` observations per landmark are gathered into a padded
+        (L, C) table; the min-median-Hamming descriptor runs on packed
+        bits (LUT popcount).  This runs several times per keyframe in the
+        mapping loop -- a per-landmark Python loop was the pipeline's
+        single largest host cost."""
+        lm_ids = np.unique(np.asarray(lm_ids).ravel())
         lm_ids = lm_ids[self.lm_valid[lm_ids]]
         if lm_ids.size == 0:
             return
-        # Gather observations per landmark (variable count; loop on host —
-        # bookkeeping scale).
-        kf_of = [[] for _ in range(lm_ids.size)]
-        kp_of = [[] for _ in range(lm_ids.size)]
-        pos_in = {int(l): i for i, l in enumerate(lm_ids)}
+        L = lm_ids.size
+        jmap = np.full(self.max_lm, -1, np.int64)
+        jmap[lm_ids] = np.arange(L)
         okf, okp, olm = self.observations()
-        for kf, kp, lm in zip(okf, okp, olm):
-            j = pos_in.get(int(lm))
-            if j is not None:
-                kf_of[j].append(kf)
-                kp_of[j].append(kp)
-        centers = -np.einsum("kij,kj->ki", self.kf_R.transpose(0, 2, 1), self.kf_t)
-        for j, lm in enumerate(lm_ids):
-            kfs = np.array(kf_of[j], np.int32)
-            if kfs.size == 0:
-                continue
-            kps = np.array(kp_of[j], np.int32)
-            p = self.lm_pos[lm]
-            vecs = p[None] - centers[kfs]
-            norms = np.linalg.norm(vecs, axis=1)
-            norms = np.maximum(norms, 1e-9)
-            self.lm_normal[lm] = (vecs / norms[:, None]).mean(0)
-            n = np.linalg.norm(self.lm_normal[lm])
-            if n > 1e-9:
-                self.lm_normal[lm] /= n
-            # Scale band from the reference keyframe (the last observation,
-            # matching PredictScale's dist limits).
-            ref = -1
-            level = self.kf_kp_level[kfs[ref], kps[ref]]
-            dist = norms[ref]
-            factor = self.scale_factor ** level
-            self.lm_max_dist[lm] = dist * factor
-            self.lm_min_dist[lm] = self.lm_max_dist[lm] / (
-                self.scale_factor ** (self.n_levels - 1)
-            )
-            # Distinctive descriptor: min median Hamming to the others.
-            descs = self.kf_desc[kfs, kps]  # (n, 256)
-            if descs.shape[0] == 1:
-                self.lm_desc[lm] = descs[0]
-            else:
-                d = (descs[:, None, :] != descs[None, :, :]).sum(-1)
-                med = np.median(d, axis=1)
-                self.lm_desc[lm] = descs[np.argmin(med)]
+        sel = jmap[olm] >= 0
+        okf, okp = okf[sel], okp[sel]
+        oj = jmap[olm[sel]]
+        if oj.size == 0:
+            return
+        # Group observations by landmark, preserving insertion order so
+        # "the last observation" (the reference keyframe in
+        # UpdateNormalAndDepth's PredictScale band) stays well defined.
+        order = np.argsort(oj, kind="stable")
+        oj_s, okf_s, okp_s = oj[order], okf[order], okp[order]
+        counts = np.bincount(oj_s, minlength=L)
+        start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(oj_s.size) - start[oj_s]
+        # Keep the last C observations per landmark.
+        drop = np.maximum(counts - max_obs, 0)
+        keep = pos >= drop[oj_s]
+        slot = pos[keep] - drop[oj_s[keep]]
+        ojk, okfk, okpk = oj_s[keep], okf_s[keep], okp_s[keep]
+        C = int(min(max_obs, counts.max()))
+        kf_t = np.zeros((L, C), np.int64)
+        kp_t = np.zeros((L, C), np.int64)
+        mask = np.zeros((L, C), bool)
+        kf_t[ojk, slot] = okfk
+        kp_t[ojk, slot] = okpk
+        mask[ojk, slot] = True
+        n_obs = mask.sum(1)
+        have = n_obs > 0
+        cnt = np.maximum(n_obs, 1)
+
+        centers = -np.einsum("kij,kj->ki",
+                             self.kf_R.transpose(0, 2, 1), self.kf_t)
+        vecs = self.lm_pos[lm_ids][:, None, :] - centers[kf_t]   # (L, C, 3)
+        norms = np.maximum(np.linalg.norm(vecs, axis=2), 1e-9)
+        unit = (vecs / norms[..., None]) * mask[..., None]
+        nrm = unit.sum(1) / cnt[:, None]
+        nlen = np.linalg.norm(nrm, axis=1)
+        ok_n = have & (nlen > 1e-9)
+        nrm[ok_n] /= nlen[ok_n, None]
+        self.lm_normal[lm_ids[ok_n]] = nrm[ok_n].astype(
+            self.lm_normal.dtype)
+
+        # Scale band from the last (reference) observation.
+        ref = np.clip(n_obs - 1, 0, C - 1)
+        ar = np.arange(L)
+        level = self.kf_kp_level[kf_t[ar, ref], kp_t[ar, ref]]
+        dist = norms[ar, ref]
+        max_d = dist * self.scale_factor ** level
+        min_d = max_d / (self.scale_factor ** (self.n_levels - 1))
+        self.lm_max_dist[lm_ids[have]] = max_d[have].astype(
+            self.lm_max_dist.dtype)
+        self.lm_min_dist[lm_ids[have]] = min_d[have].astype(
+            self.lm_min_dist.dtype)
+
+        # Distinctive descriptor: min median Hamming to the co-observations
+        # (packed-bit XOR + byte-LUT popcount).
+        descs = self.kf_desc[kf_t, kp_t]                       # (L, C, 256)
+        packed = np.packbits(descs > 0, axis=2)                # (L, C, 32)
+        x = packed[:, :, None, :] ^ packed[:, None, :, :]      # (L, C, C, 32)
+        d = MapState._POPCNT8[x].sum(-1).astype(np.float32)    # (L, C, C)
+        pair = mask[:, :, None] & mask[:, None, :]
+        d[~pair] = np.nan
+        with np.errstate(all="ignore"):
+            med = np.nanmedian(d, axis=2)                      # (L, C)
+        med = np.where(np.isnan(med) | ~mask, np.inf, med)
+        best = np.argmin(med, axis=1)
+        self.lm_desc[lm_ids[have]] = descs[ar[have], best[have]]
 
     def predict_scale(self, dist, lm_ids):
         """Pyramid level prediction from distance (MapPoint::PredictScale)."""
