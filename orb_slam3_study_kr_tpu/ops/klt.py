@@ -146,12 +146,29 @@ def klt_refine(pyr_stack, level_wh, uv_l0, level, angle, tmpl, mask,
         dx = jnp.clip(dx - ddx, -max_shift, max_shift)
         dy = jnp.clip(dy - ddy, -max_shift, max_shift)
 
-    w, _, _ = window_and_grads(dx, dy)
-    w0 = w - w.mean(axis=1, keepdims=True)
-    w_ss = jnp.maximum((w0 * w0).sum(axis=1), 1e-6)
-    zncc = (w0 * t0).sum(axis=1) / jnp.sqrt(w_ss * t0_ss)
+    def zncc_at(ddx, ddy):
+        w, _, _ = window_and_grads(dx + ddx, dy + ddy)
+        w0 = w - w.mean(axis=1, keepdims=True)
+        w_ss = jnp.maximum((w0 * w0).sum(axis=1), 1e-6)
+        return (w0 * t0).sum(axis=1) / jnp.sqrt(w_ss * t0_ss), w
+
+    zncc, w = zncc_at(0.0, 0.0)
     P = tmpl.shape[1]
     win = w.reshape(-1, P, P)
+
+    # Alias-ambiguity probe: on self-similar texture the aligned optimum is
+    # one of several near-identical basins, and moving the observation to
+    # it "perfects" a wrong registration (NOTES.md: klt_move_obs
+    # regression).  Score the template at 4 probe offsets one texture-cell
+    # away from the optimum; the margin zncc - max(probe zncc) measures how
+    # DISTINCTIVE the aligned position is.  Periodic texture -> margin ~ 0.
+    probe = 2.5
+    amb = jnp.full(zncc.shape, -1.0, zncc.dtype)
+    for pdx, pdy in ((probe, 0.0), (-probe, 0.0), (0.0, probe),
+                     (0.0, -probe)):
+        z_p, _ = zncc_at(pdx, pdy)
+        amb = jnp.maximum(amb, z_p)
+    distinct = zncc - amb
 
     # Refined center in level coords, then back to level-0.
     rx = x_l + dx * ca[:, 0] - dy * sa[:, 0]
@@ -161,7 +178,8 @@ def klt_refine(pyr_stack, level_wh, uv_l0, level, angle, tmpl, mask,
     uv_ref = jnp.where(mask[:, None], jnp.stack([u0, v0], axis=-1), uv_l0)
     shift = jnp.where(mask, jnp.sqrt(dx * dx + dy * dy), max_shift + 1.0)
     zncc = jnp.where(mask, zncc, -1.0)
-    return uv_ref, zncc, shift, win
+    distinct = jnp.where(mask, distinct, -1.0)
+    return uv_ref, zncc, shift, win, distinct
 
 
 def stack_pyramid(pyr_levels):

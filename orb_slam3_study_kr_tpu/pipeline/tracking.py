@@ -83,13 +83,17 @@ class TrackerConfig:
     klt_refine: bool = True
     klt_zncc_min: float = 0.5    # reject matches below this aligned ZNCC
     klt_max_shift: float = 3.0   # level px; hitting the clamp = diverged
-    # Write the aligned position back into the observation.  Off by
-    # default: on self-similar texture the write-back *perfects* a wrong
-    # registration (the aligned uv supports the wrong pose exactly,
-    # removing the residual the pose solve needs to escape) — measured as a
-    # full tracking lock on the inertial oscillation world, for a ~10% ATE
-    # gain on clean mono worlds.  Verification/rejection stays on.
-    klt_move_obs: bool = False
+    # Write the aligned position back into the observation, gated by the
+    # alias-ambiguity probe (ops/klt.py `distinct` output): only matches
+    # whose aligned ZNCC beats every one-texture-cell-shifted probe by
+    # klt_distinct_min move.  Ungated write-back *perfected* wrong
+    # registrations on self-similar texture (the aligned uv supported the
+    # wrong pose exactly, removing the residual the pose solve needed to
+    # escape — a full tracking lock on the inertial oscillation world);
+    # the distinctiveness margin restores the ~10% ATE gain on ordinary
+    # texture while refusing to move ambiguous observations.
+    klt_move_obs: bool = True
+    klt_distinct_min: float = 0.15
     mm_mature_only: bool = True  # motion model matches >=3-obs landmarks
     seed: int = 0
 
@@ -637,36 +641,44 @@ class MonoTracker:
             return matched_lm
         from orb_slam3_study_kr_tpu.ops import klt as _klt
         tmpl = m.lm_patch[np.clip(matched_lm, 0, m.max_lm - 1)]
-        uv_ref, zncc, shift, win = _klt.klt_refine(
+        uv_ref, zncc, shift, win, distinct = _klt.klt_refine(
             frame.pyr, self._level_wh, jnp.asarray(frame.uv_raw),
             frame.dev("level"), frame.dev("angle"),
             jnp.asarray(tmpl), jnp.asarray(mask),
             max_shift=cfg.klt_max_shift)
         if cfg.klt_move_obs:
-            uv_ref, zncc, shift, win = jax.device_get(
-                (uv_ref, zncc, shift, win))
+            uv_ref, zncc, shift, win, distinct = jax.device_get(
+                (uv_ref, zncc, shift, win, distinct))
         else:
             zncc, shift = jax.device_get((zncc, shift))
         good = mask & (zncc >= cfg.klt_zncc_min) & (shift < cfg.klt_max_shift)
         if good.any() and cfg.klt_move_obs:
+            # Anti-aliasing gate: only move observations whose aligned
+            # position is DISTINCTIVE — on self-similar texture a shifted
+            # probe scores almost as well and the write-back would lock a
+            # wrong registration in (the regression that kept this off).
+            move = good & (distinct >= cfg.klt_distinct_min)
+            self.stats["klt_ambiguous"] = (
+                self.stats.get("klt_ambiguous", 0)
+                + int((good & ~move).sum()))
             uv_ref = np.asarray(uv_ref)
             du = uv_ref[:, 0] - frame.uv_raw[:, 0]
-            frame.uv_raw[good] = uv_ref[good]
+            frame.uv_raw[move] = uv_ref[move]
             if cfg.camera_model == "kb8":
                 und = uv_ref  # fisheye-native frames keep raw pixel coords
             else:
                 und = np.asarray(_undistort(cfg.cam_params, cfg.ideal_params,
                                             jnp.asarray(uv_ref)))
-            frame.uv[good] = und[good]
+            frame.uv[move] = und[move]
             frame.invalidate_dev("uv")
             # Stereo: carry the right-image coordinate along (the disparity
             # was measured at the pre-refinement left position).
             if frame.u_r is not None:
-                has_r = good & (frame.u_r >= 0)
+                has_r = move & (frame.u_r >= 0)
                 frame.u_r[has_r] += du[has_r]
             if frame.patch is not None:
-                frame.patch[good] = np.clip(
-                    np.asarray(win), 0, 255).astype(np.uint8)[good]
+                frame.patch[move] = np.clip(
+                    np.asarray(win), 0, 255).astype(np.uint8)[move]
         out = matched_lm.copy()
         out[mask & ~good] = NO_LM
         self.stats["klt_reject"] = (

@@ -39,7 +39,7 @@ def test_klt_recovers_perturbed_positions():
     uv_pert = uv + pert
 
     level_wh = jnp.asarray(klt.make_level_wh(cfg))
-    uv_ref, zncc, shift, _win = klt.klt_refine(
+    uv_ref, zncc, shift, _win, _dist = klt.klt_refine(
         pyr, level_wh, jnp.asarray(uv_pert), feats.level, feats.angle,
         feats.patch, jnp.asarray(valid))
     uv_ref = np.asarray(uv_ref)
@@ -68,7 +68,7 @@ def test_klt_rejects_wrong_content():
     tmpl_wrong = np.asarray(feats.patch)[perm]
 
     level_wh = jnp.asarray(klt.make_level_wh(cfg))
-    _uv, zncc, _s, _w = klt.klt_refine(
+    _uv, zncc, _s, _w, _d = klt.klt_refine(
         pyr, level_wh, feats.uv, feats.level, feats.angle,
         jnp.asarray(tmpl_wrong), jnp.asarray(valid))
     zncc = np.asarray(zncc)[valid & (perm != np.arange(n))]
@@ -77,3 +77,44 @@ def test_klt_rejects_wrong_content():
     # correlate; the gate removes the blatant mismatches).
     assert np.median(zncc) < 0.85, np.median(zncc)
     assert (zncc < 0.5).mean() > 0.4, (zncc < 0.5).mean()
+
+
+def test_klt_distinctiveness_flags_periodic_texture():
+    """The alias-ambiguity probe: a keypoint on strictly periodic texture
+    (period ~= the probe offset) must report a near-zero distinctiveness
+    margin, while keypoints on broadband texture keep a clear margin."""
+    import jax
+    import jax.numpy as jnp
+
+    H, W = 128, 128
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    period = 2.5
+    periodic = 127.5 + 100.0 * np.sin(2 * np.pi * xx / period)
+    rng = np.random.default_rng(5)
+    broadband = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    # Smooth the broadband noise a little so gradients are sane.
+    k = np.array([0.25, 0.5, 0.25])
+    for axis in (0, 1):
+        broadband = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), axis, broadband)
+
+    def run(img):
+        pyr = jnp.asarray(img)[None]            # single-level pyramid
+        level_wh = jnp.asarray([[W, H]], jnp.float32)
+        uv = jnp.asarray([[64.0, 64.0]], jnp.float32)
+        level = jnp.zeros(1, jnp.int32)
+        angle = jnp.zeros(1, jnp.float32)
+        # Template = the true content at the keypoint.
+        from orb_slam3_study_kr_tpu.ops.orb import PATCH_R
+        P = 2 * PATCH_R + 1
+        tmpl = img[64 - PATCH_R: 64 + PATCH_R + 1,
+                   64 - PATCH_R: 64 + PATCH_R + 1][None]
+        out = klt.klt_refine(pyr, level_wh, uv, level, angle,
+                             jnp.asarray(tmpl), jnp.ones(1, bool))
+        return float(np.asarray(out[1])[0]), float(np.asarray(out[4])[0])
+
+    z_per, d_per = run(periodic)
+    z_bb, d_bb = run(broadband)
+    assert z_per > 0.9 and z_bb > 0.9          # both align perfectly...
+    assert d_per < 0.05, d_per                 # ...but periodic is ambiguous
+    assert d_bb > 0.3, d_bb                    # noise texture is distinctive
