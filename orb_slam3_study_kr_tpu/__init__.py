@@ -49,7 +49,12 @@ _jax.config.update("jax_default_matmul_precision", "float32")
 import os as _os
 import platform as _platform
 
-if not _jax.config.jax_compilation_cache_dir:
+# XLA:CPU AOT deserialization is unreliable (segfaults in
+# compilation_cache.get_executable_and_time loading blobs whose
+# prefer-no-scatter/-gather pseudo-features the host detector rejects) —
+# persist only for non-CPU platforms, where compiles cost tens of seconds.
+if (not _jax.config.jax_compilation_cache_dir
+        and "cpu" not in _os.environ.get("JAX_PLATFORMS", "")):
     _scope = (f"{_platform.node()}-"
               f"{_os.environ.get('JAX_PLATFORMS', 'default')}")
     _jax.config.update(

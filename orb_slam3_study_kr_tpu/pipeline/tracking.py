@@ -95,6 +95,11 @@ class TrackerConfig:
     klt_move_obs: bool = True
     klt_distinct_min: float = 0.15
     mm_mature_only: bool = True  # motion model matches >=3-obs landmarks
+    # Pose-free image-continuity anchor (see _flow_anchor_matches): match
+    # last-frame bound features by descriptor inside a window centered at
+    # their PREVIOUS observed position before any pose-gated search.
+    flow_anchor: bool = True
+    flow_anchor_radius: float = 40.0
     seed: int = 0
 
     @functools.cached_property
@@ -712,12 +717,52 @@ class MonoTracker:
         frame.kp_lm = np.where(inl, frame.kp_lm, NO_LM).astype(np.int32)
         return int(inl.sum())
 
+    def _flow_anchor_matches(self, frame: Frame):
+        """Pose-FREE association channel: windowed descriptor matching
+        centered at each bound feature's position in the LAST frame (image
+        continuity), not at its pose-projected position.  The pose-gated
+        search windows are exactly what the drift feedback loop rides (a
+        biased pose shifts the windows, true matches drop out, the pose
+        slides further — NOTES.md); this channel re-anchors every frame to
+        where the features actually were, immune to the pose estimate.
+        Bindings still pass the KLT photometric verification."""
+        cfg, m = self.cfg, self.map
+        lf = self.last_frame
+        if not cfg.flow_anchor or lf is None:
+            return
+        bound = (lf.kp_lm != NO_LM) & lf.valid
+        bound &= m.lm_valid[np.clip(lf.kp_lm, 0, m.max_lm - 1)]
+        if bound.sum() < 3:
+            return
+        idx, ok, _ = matching.search_for_initialization(
+            lf.dev("uv"), lf.dev("desc"), lf.dev("angle"),
+            jnp.asarray(bound),
+            frame.dev("uv"), frame.dev("desc"), frame.dev("angle"),
+            frame.dev("valid"),
+            window_radius=cfg.flow_anchor_radius, nn_ratio=0.8,
+        )
+        idx, ok = jax.device_get((idx, ok))
+        sel = np.nonzero(ok & bound)[0]
+        if sel.size == 0:
+            return
+        # First-wins on contested current keypoints.
+        new_kp, first = np.unique(idx[sel], return_index=True)
+        lm = lf.kp_lm[sel[first]]
+        cand = np.full(frame.uv.shape[0], NO_LM, np.int32)
+        cand[new_kp] = lm
+        cand = self._klt_refine_matches(frame, cand)
+        take = (cand != NO_LM) & (frame.kp_lm == NO_LM)
+        frame.kp_lm = np.where(take, cand, frame.kp_lm).astype(np.int32)
+        self.stats["flow_anchor_matches"] = (
+            self.stats.get("flow_anchor_matches", 0) + int(take.sum()))
+
     def _track_motion_model(self, frame: Frame) -> bool:
         cfg, m = self.cfg, self.map
         R_pred, t_pred = self._predict_pose()
         kp, lms = self.last_frame.bound_obs()
         if lms.size < 3:
             return False
+        self._flow_anchor_matches(frame)
         lm_ids = np.unique(lms)
         lm_ids = lm_ids[m.lm_valid[lm_ids]]
         # Prefer mature landmarks (>= 3 keyframe observations): freshly
@@ -730,17 +775,25 @@ class MonoTracker:
             mature = lm_ids[obs[lm_ids] >= 3]
             if mature.size >= 2 * cfg.min_track_matches:
                 lm_ids = mature
+        # Exclude landmarks the flow channel already bound.
+        _, bound_now = frame.bound_obs()
+        if bound_now.size:
+            lm_ids = lm_ids[~np.isin(lm_ids, bound_now)]
         matched_lm, _, _ = self._match_against_landmarks(
             frame, lm_ids, R_pred, t_pred, th=3.0, wide_gates=True
         )
-        if (matched_lm != NO_LM).sum() < cfg.min_track_matches:
+        free = frame.kp_lm == NO_LM
+        frame.kp_lm = np.where(free, matched_lm, frame.kp_lm).astype(np.int32)
+        if (frame.kp_lm != NO_LM).sum() < cfg.min_track_matches:
             # Widen the window once, as the reference does.
             matched_lm, _, _ = self._match_against_landmarks(
                 frame, lm_ids, R_pred, t_pred, th=6.0, wide_gates=True
             )
-        if (matched_lm != NO_LM).sum() < cfg.min_track_matches:
+            free = frame.kp_lm == NO_LM
+            frame.kp_lm = np.where(free, matched_lm,
+                                   frame.kp_lm).astype(np.int32)
+        if (frame.kp_lm != NO_LM).sum() < cfg.min_track_matches:
             return False
-        frame.kp_lm = matched_lm
         n = self._optimize_frame_pose(frame, R_pred, t_pred)
         return n >= cfg.min_track_matches
 
