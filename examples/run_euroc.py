@@ -42,6 +42,7 @@ def build_system(args):
         st = Settings(args.settings)
         tracker = st.tracker_config()
         sys_kw = dict(tracker=tracker, sensor=args.sensor)
+        rectifier = None
         if args.sensor.startswith("stereo"):
             # Plumb the calibrated rig (Stereo.T_c1_c2 / Camera2.*) through;
             # without this a TUM-VI YAML would silently run with identity
@@ -51,16 +52,42 @@ def build_system(args):
                 raise SystemExit(
                     f"{args.settings}: no stereo calibration "
                     "(Camera.bf / Stereo.T_c1_c2) for a stereo sensor")
-            sys_kw.update(
-                stereo_R_rl=tuple(map(tuple, np.asarray(rig["R_rl"]))),
-                stereo_t_rl=tuple(np.asarray(rig["t_rl"])),
-                baseline=float(rig["baseline"]),
-            )
-            if rig.get("cam2") is not None:
+            raw_rig = (tracker.camera_model == "pinhole"
+                       and rig.get("R_rl") is not None
+                       and rig.get("cam2") is not None
+                       and any(abs(d) > 1e-12 for d in tracker.dist))
+            if raw_rig:
+                # Non-rectified distorted pinhole rig (raw EuRoC pairs):
+                # precompute rectification maps (Settings.cc
+                # precomputeRectificationMaps role) and feed the session
+                # the rectified geometry.
+                from orb_slam3_study_kr_tpu.io.rectify import stereo_rectify
+                params_l = (tracker.fx, tracker.fy, tracker.cx, tracker.cy,
+                            *(tuple(tracker.dist) + (0.0,) * 5)[:5])
                 fx2, fy2, cx2, cy2, *dist2 = rig["cam2"]
-                sys_kw["tracker_right"] = replace(
-                    tracker, fx=fx2, fy=fy2, cx=cx2, cy=cy2,
-                    dist=tuple(dist2))
+                params_r = (fx2, fy2, cx2, cy2,
+                            *(tuple(dist2) + (0.0,) * 5)[:5])
+                rectifier = stereo_rectify(
+                    params_l, params_r, rig["R_rl"], rig["t_rl"],
+                    tracker.width, tracker.height)
+                f = float(rectifier.K_new[0, 0])
+                tracker = replace(
+                    tracker, fx=f, fy=f, cx=tracker.width / 2.0,
+                    cy=tracker.height / 2.0, dist=(0.0,) * 5,
+                    bf=float(rectifier.bf))
+                sys_kw["tracker"] = tracker
+                sys_kw["baseline"] = float(rectifier.baseline)
+            else:
+                sys_kw.update(
+                    stereo_R_rl=tuple(map(tuple, np.asarray(rig["R_rl"]))),
+                    stereo_t_rl=tuple(np.asarray(rig["t_rl"])),
+                    baseline=float(rig["baseline"]),
+                )
+                if rig.get("cam2") is not None:
+                    fx2, fy2, cx2, cy2, *dist2 = rig["cam2"]
+                    sys_kw["tracker_right"] = replace(
+                        tracker, fx=fx2, fy=fy2, cx=cx2, cy=cy2,
+                        dist=tuple(dist2))
         if args.sensor.endswith("-inertial"):
             calib = st.imu_calib()
             sys_kw.update(
@@ -74,6 +101,7 @@ def build_system(args):
             )
         cfg = SystemConfig(**sys_kw)
     else:
+        rectifier = None
         # EuRoC cam0 defaults (EuRoC.yaml).
         cfg = SystemConfig(
             sensor=args.sensor,
@@ -86,7 +114,9 @@ def build_system(args):
         )
     if args.vocabulary:
         cfg.vocabulary_path = args.vocabulary
-    return SlamSystem(cfg)
+    slam = SlamSystem(cfg)
+    slam.rectifier = rectifier
+    return slam
 
 
 def run_sequence(slam, seq, args, inertial):
@@ -106,7 +136,12 @@ def run_sequence(slam, seq, args, inertial):
                 [dts[:, None], acc, gyro], axis=1).astype(np.float32)
         wall0 = time.perf_counter()
         if args.sensor.startswith("stereo") and seq.cam1_files:
-            slam.track_stereo(img, seq.image(i, cam=1), ts, imu=imu)
+            img_r = seq.image(i, cam=1)
+            rect = getattr(slam, "rectifier", None)
+            if rect is not None:
+                img = rect.remap_left(img)
+                img_r = rect.remap_right(img_r)
+            slam.track_stereo(img, img_r, ts, imu=imu)
         else:
             slam.track_monocular(img, ts, imu=imu)
         if args.pace and i + 1 < n:

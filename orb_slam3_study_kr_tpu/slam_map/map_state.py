@@ -350,7 +350,9 @@ class MapState:
         d = MapState._POPCNT8[x].sum(-1).astype(np.float32)    # (L, C, C)
         pair = mask[:, :, None] & mask[:, None, :]
         d[~pair] = np.nan
-        with np.errstate(all="ignore"):
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
             med = np.nanmedian(d, axis=2)                      # (L, C)
         med = np.where(np.isnan(med) | ~mask, np.inf, med)
         best = np.argmin(med, axis=1)
