@@ -100,6 +100,10 @@ class TrackerConfig:
     # their PREVIOUS observed position before any pose-gated search.
     flow_anchor: bool = True
     flow_anchor_radius: float = 40.0
+    # Run the local-map rounds through the fused single-dispatch program
+    # (pipeline/fused_round.py) — same association/solve semantics, one
+    # host sync per round instead of one per stage.
+    fused_rounds: bool = True
     seed: int = 0
 
     @functools.cached_property
@@ -779,6 +783,14 @@ class MonoTracker:
         _, bound_now = frame.bound_obs()
         if bound_now.size:
             lm_ids = lm_ids[~np.isin(lm_ids, bound_now)]
+        if cfg.fused_rounds:
+            # Single-dispatch round (match + verify + bind + solve); the
+            # wide-gate geometry is synthesized into the landmark block.
+            n = self._fused_round_wide(frame, lm_ids, R_pred, t_pred, th=3.0)
+            if n < cfg.min_track_matches:
+                n = self._fused_round_wide(frame, lm_ids, R_pred, t_pred,
+                                           th=6.0)
+            return n >= cfg.min_track_matches
         matched_lm, _, _ = self._match_against_landmarks(
             frame, lm_ids, R_pred, t_pred, th=3.0, wide_gates=True
         )
@@ -874,6 +886,8 @@ class MonoTracker:
         cand = np.concatenate(chunks) if chunks else np.empty(0, np.int32)
         cand = cand[m.lm_valid[cand]]
         cand = cand[~np.isin(cand, lms)]
+        if cfg.fused_rounds:
+            return self._track_local_map_fused(frame, cand)
         matched_lm, visible, used_ids = self._match_against_landmarks(
             frame, cand, frame.R_cw, frame.t_cw, th=1.0
         )
@@ -900,6 +914,140 @@ class MonoTracker:
             n = self._optimize_frame_pose(frame, frame.R_cw, frame.t_cw)
         _, lms_after = frame.bound_obs()
         m.lm_found[lms_after] += 1
+        return n
+
+    def _build_lm_block(self, cand, L, wide_gates=False,
+                        R_pred=None, t_pred=None):
+        """Padded device-resident landmark block for the fused round."""
+        m = self.map
+        cand = cand[:L]
+        pos = m.lm_pos[cand]
+        if wide_gates:
+            # Frame-to-frame search skips the normal/band gates: a normal
+            # pointing at the camera and an unbounded band.
+            center = -R_pred.T @ t_pred
+            vec = pos - center
+            nrm = vec / np.maximum(
+                np.linalg.norm(vec, axis=1, keepdims=True), 1e-9)
+            normal = _pad_rows(nrm.astype(np.float32), L)
+            min_d = np.zeros(L, np.float32)
+            max_d = np.full(L, 1e6, np.float32)
+        else:
+            normal = _pad_rows(m.lm_normal[cand], L)
+            min_d = _pad_rows(m.lm_min_dist[cand], L)
+            max_d = _pad_rows(m.lm_max_dist[cand], L)
+        gid = np.full(L, NO_LM, np.int32)
+        gid[: cand.size] = cand
+        blk_mask = _pad_rows(np.ones(cand.shape[0], np.float32), L)
+        block = dict(
+            lm_pos=jnp.asarray(_pad_rows(pos, L)),
+            lm_normal=jnp.asarray(normal),
+            lm_min_dist=jnp.asarray(min_d),
+            lm_max_dist=jnp.asarray(max_d),
+            lm_desc=jnp.asarray(_pad_rows(m.lm_desc[cand], L)),
+            lm_patch=jnp.asarray(_pad_rows(m.lm_patch[cand], L)),
+            lm_gid=jnp.asarray(gid),
+        )
+        return block, blk_mask, cand
+
+    def _exec_fused_round(self, frame, block, blk_mask, R0, t0, th,
+                          level_slack):
+        """One fused round: dispatch, fetch once, apply pose/bindings/
+        KLT move on the host.  Returns (n_inliers, visible)."""
+        from orb_slam3_study_kr_tpu.pipeline.fused_round import (
+            fused_track_round)
+        cfg, m = self.cfg, self.map
+        L = blk_mask.shape[0]
+        use_klt = cfg.klt_refine and frame.pyr is not None
+        use_pallas = (jax.default_backend() == "tpu"
+                      and L % 256 == 0 and L * 512 < 2 ** 24)
+        stereo_kw = {}
+        if cfg.bf > 0 and frame.u_r is not None:
+            stereo_kw = dict(ur_obs=jnp.asarray(frame.u_r),
+                             bf=jnp.float32(cfg.bf))
+        # Drop stale bindings, gather bound landmark positions.
+        stale = (frame.kp_lm != NO_LM) & ~m.lm_valid[
+            np.clip(frame.kp_lm, 0, m.max_lm - 1)]
+        frame.kp_lm = np.where(stale, NO_LM, frame.kp_lm).astype(np.int32)
+        kp_lm_pos = m.lm_pos[np.clip(frame.kp_lm, 0, m.max_lm - 1)]
+        out = fused_track_round(
+            cfg.project_fn, cfg.project_jac_fn,
+            jnp.asarray(R0), jnp.asarray(t0),
+            block["lm_pos"], block["lm_normal"], block["lm_min_dist"],
+            block["lm_max_dist"], block["lm_desc"],
+            jnp.asarray(blk_mask), block["lm_gid"], block["lm_patch"],
+            jnp.asarray(frame.kp_lm), jnp.asarray(kp_lm_pos),
+            frame.dev("uv"), frame.dev("level"), frame.dev("desc"),
+            frame.dev("valid"),
+            jnp.asarray(frame.uv_raw), frame.dev("angle"),
+            frame.pyr if use_klt else jnp.zeros((1, 2, 2), jnp.float32),
+            self._level_wh if use_klt else jnp.ones((1, 2), jnp.float32),
+            cfg.width, cfg.height, th=th,
+            scale_factor=cfg.orb_scale_factor,
+            n_levels=cfg.orb_n_levels, level_slack=level_slack,
+            max_theta_deg=cfg.max_theta_deg,
+            klt_zncc_min=cfg.klt_zncc_min,
+            klt_max_shift=cfg.klt_max_shift,
+            wide_fov=cfg.camera_model == "kb8",
+            use_klt=use_klt, use_pallas=use_pallas,
+            **stereo_kw,
+        )
+        (R, t, kp_lm, inl, visible,
+         (uv_ref, zncc, shift, distinct, newly)) = jax.device_get(out)
+        frame.R_cw = np.array(R)
+        frame.t_cw = np.array(t)
+        frame.kp_lm = np.array(kp_lm)
+        # KLT observation write-back (verified + distinctive only);
+        # benefits the next round / the keyframe record.
+        if use_klt and cfg.klt_move_obs:
+            move = (newly & inl & (zncc >= cfg.klt_zncc_min)
+                    & (shift < cfg.klt_max_shift)
+                    & (distinct >= cfg.klt_distinct_min))
+            if move.any():
+                du = uv_ref[:, 0] - frame.uv_raw[:, 0]
+                frame.uv_raw[move] = uv_ref[move]
+                if cfg.camera_model == "kb8":
+                    und = uv_ref
+                else:
+                    und = np.asarray(_undistort(
+                        cfg.cam_params, cfg.ideal_params,
+                        jnp.asarray(uv_ref)))
+                frame.uv[move] = und[move]
+                frame.invalidate_dev("uv")
+                if frame.u_r is not None:
+                    has_r = move & (frame.u_r >= 0)
+                    frame.u_r[has_r] += du[has_r]
+        return int(inl.sum()), visible
+
+    def _track_local_map_fused(self, frame: Frame, cand) -> int:
+        """Both local-map rounds through the single-dispatch fused program
+        (pipeline/fused_round.py): one upload + one fetch per round instead
+        of a host sync per stage."""
+        cfg, m = self.cfg, self.map
+        block, blk_mask, cand = self._build_lm_block(
+            cand, cfg.local_map_size)
+        n = 0
+        for rnd in range(2):
+            n, visible = self._exec_fused_round(
+                frame, block, blk_mask, frame.R_cw, frame.t_cw,
+                th=1.0, level_slack=1)
+            if rnd == 0:
+                vis = visible[: cand.size]
+                m.lm_visible[cand[vis]] += 1
+                # Landmarks bound this round leave the candidate block.
+                _, bound_now = frame.bound_obs()
+                blk_mask[: cand.size] *= ~np.isin(cand, bound_now)
+        _, lms_after = frame.bound_obs()
+        m.lm_found[lms_after] += 1
+        return n
+
+    def _fused_round_wide(self, frame: Frame, lm_ids, R_pred, t_pred,
+                          th) -> int:
+        """Motion-model step as one fused round with wide gates."""
+        block, blk_mask, _ = self._build_lm_block(
+            lm_ids, 1024, wide_gates=True, R_pred=R_pred, t_pred=t_pred)
+        n, _ = self._exec_fused_round(frame, block, blk_mask,
+                                      R_pred, t_pred, th=th, level_slack=7)
         return n
 
     # ------------------------------------------------------------------
