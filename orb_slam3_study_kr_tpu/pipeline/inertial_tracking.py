@@ -187,6 +187,14 @@ class ImuMixin:
         return super()._lost_deadline_passed(frame)
 
     # -------------------------------------------------------- optimization
+    def _custom_pose_opt_active(self) -> bool:
+        # Once IMU-initialized, frame solves are pose-INERTIAL; the fused
+        # round's in-program visual GN must not replace them.
+        lf = self.last_frame
+        return (self.imu_stage > 0 and self._pre_frame is not None
+                and lf is not None and lf.pose_ok
+                and getattr(lf, "v_w", None) is not None)
+
     def _optimize_frame_pose(self, frame, R0, t0):
         lf = self.last_frame
         if not (self.imu_stage > 0 and self._pre_frame is not None

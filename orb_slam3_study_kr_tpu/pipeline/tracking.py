@@ -783,7 +783,7 @@ class MonoTracker:
         _, bound_now = frame.bound_obs()
         if bound_now.size:
             lm_ids = lm_ids[~np.isin(lm_ids, bound_now)]
-        if cfg.fused_rounds:
+        if cfg.fused_rounds and not self._custom_pose_opt_active():
             # Single-dispatch round (match + verify + bind + solve); the
             # wide-gate geometry is synthesized into the landmark block.
             n = self._fused_round_wide(frame, lm_ids, R_pred, t_pred, th=3.0)
@@ -886,7 +886,7 @@ class MonoTracker:
         cand = np.concatenate(chunks) if chunks else np.empty(0, np.int32)
         cand = cand[m.lm_valid[cand]]
         cand = cand[~np.isin(cand, lms)]
-        if cfg.fused_rounds:
+        if cfg.fused_rounds and not self._custom_pose_opt_active():
             return self._track_local_map_fused(frame, cand)
         matched_lm, visible, used_ids = self._match_against_landmarks(
             frame, cand, frame.R_cw, frame.t_cw, th=1.0
@@ -915,6 +915,13 @@ class MonoTracker:
         _, lms_after = frame.bound_obs()
         m.lm_found[lms_after] += 1
         return n
+
+    def _custom_pose_opt_active(self) -> bool:
+        """True when a subclass replaces the visual pose solve with its own
+        (e.g. the pose-inertial solves after IMU init) — the fused round's
+        in-program visual GN must then yield to the split path so the
+        custom solve stays in the loop."""
+        return False
 
     def _build_lm_block(self, cand, L, wide_gates=False,
                         R_pred=None, t_pred=None):
