@@ -410,6 +410,18 @@ class SlamSystem:
                 return  # nothing to protect yet
             self.sys_stats["n_ts_resets"] = (
                 self.sys_stats.get("n_ts_resets", 0) + 1)
+            if tr.only_tracking:
+                # Localization-only mode freezes the map (the reference
+                # never discards maps under mbOnlyTracking): drop the
+                # motion/IMU transients and fall back to relocalization
+                # against the existing map.
+                tr.velocity = None
+                tr.state = TrackState.RECENTLY_LOST
+                tr.last_ok_ts = timestamp   # fresh grace period
+                if hasattr(tr, "_pre_frame"):
+                    tr._pre_frame = None
+                    tr._imu_log = []
+                return
             self._on_tracking_lost()
 
     def _check_bad_imu(self, frame) -> None:

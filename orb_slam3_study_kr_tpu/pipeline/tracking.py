@@ -496,8 +496,11 @@ class MonoTracker:
             self._lost_pose_estimate(frame)
             self.velocity = None
             # Sustained loss: hand control to the Atlas (new map spawn /
-            # reset — Tracking.cc:2028-2046 CreateMapInAtlas).
-            if (self._lost_deadline_passed(frame)
+            # reset — Tracking.cc:2028-2046 CreateMapInAtlas).  Never in
+            # localization-only mode: the map is frozen, keep trying to
+            # relocalize against it.
+            if (not self.only_tracking
+                    and self._lost_deadline_passed(frame)
                     and self.on_tracking_lost is not None):
                 self.state = TrackState.LOST
                 self.on_tracking_lost()
