@@ -56,6 +56,7 @@ def distributed_bundle_adjust(
     obs_ur=None, bf=None,       # sharded (Osh,) right-u; bf = fx * baseline
     assembly: str = "dense",    # "dense" | "pcg"
     n_cg: int = 60,
+    wide_fov: bool = False,     # fisheye: |p| > 0 cheirality, not z > 0
 ):
     """LM-damped Schur-complement BA over the mesh.
 
@@ -108,7 +109,11 @@ def distributed_bundle_adjust(
                 project_jac_fn, project_fn, R_all[op], t_all[op], X_blk[ol],
                 ouv, ur_obs=our if has_ur else None, bf=bf)
             chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-            valid = om * lmm_blk[ol] * (p[:, 2] > 1e-3)
+            # Same cheirality gate as solvers/local_ba.py: KB8 keeps
+            # observations past 90 deg off-axis (z may be <= 0 there).
+            cheir = (jnp.linalg.norm(p, axis=-1) > 1e-3) if wide_fov \
+                else (p[:, 2] > 1e-3)
+            valid = om * lmm_blk[ol] * cheir
             w = inv_sigma2 * valid * robust.huber_weight(chi2, huber_delta)
             cost_loc = jnp.sum(_huber_rho(chi2) * valid)
             return r, J_pose, J_point, w, chi2, cost_loc

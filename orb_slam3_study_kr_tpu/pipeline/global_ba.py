@@ -160,7 +160,8 @@ def _distributed_gba(cfg, m, mesh, lms, R_all, t_all, fixed_p, X, lm_mask,
         put(X_sh, shd), put(lmm_sh, shd),
         put(op_sh, shd), put(ol_sh, shd), put(ouv_sh, shd),
         put(olev_sh, shd), put(om_sh, shd),
-        n_iters=n_iters, assembly="pcg", **kw,
+        n_iters=n_iters, assembly="pcg",
+        wide_fov=cfg.camera_model == "kb8", **kw,
     )
     fixed = np.asarray(fixed_p)[: kfs.size]
     upd = kfs[fixed == 0]

@@ -169,3 +169,105 @@ def test_pipeline_gba_through_mesh():
     res = run_in_cpu_mesh(PIPELINE_GBA_PROGRAM, n_devices=8)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "PIPELINE_GBA_MESH_OK" in res.stdout, res.stdout
+
+
+FISHEYE_DIST_BA_PROGRAM = r"""
+import functools
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from orb_slam3_study_kr_tpu import lie
+from orb_slam3_study_kr_tpu.cameras import kb8
+from orb_slam3_study_kr_tpu.parallel import distributed_bundle_adjust, make_ba_mesh
+from orb_slam3_study_kr_tpu.parallel.dist_ba import shard_ba_problem
+from orb_slam3_study_kr_tpu.solvers.robust import CHI2_MONO
+
+assert len(jax.devices()) == 8
+
+# Wide KB8 lens (TUM-VI-like): observations past 90 deg off-axis have
+# z < 0 in the camera frame but are perfectly valid fisheye measurements.
+CAM = jnp.asarray([190.0, 190.0, 256.0, 256.0,
+                   0.0034, 0.0008, -0.0007, 0.0002, 0], jnp.float32)
+PROJECT = functools.partial(kb8.project, CAM)
+PROJECT_JAC = functools.partial(kb8.project_jac, CAM)
+
+rng = np.random.default_rng(3)
+n_poses = 4
+# 64 frontal points + 64 points 95-110 deg off-axis (z < 0).
+theta_f = rng.uniform(0.2, 1.0, 64)
+theta_w = rng.uniform(np.radians(95), np.radians(110), 64)
+theta = np.concatenate([theta_f, theta_w])
+phi = rng.uniform(0, 2 * np.pi, 128)
+rad = rng.uniform(4, 8, 128)
+X_gt = np.stack([rad * np.sin(theta) * np.cos(phi),
+                 rad * np.sin(theta) * np.sin(phi),
+                 rad * np.cos(theta)], -1).astype(np.float32)
+wide = np.arange(128) >= 64
+
+Rs, ts = [], []
+for k in range(n_poses):
+    xi = np.array([0.01*k, -0.01*k, 0.005*k, 0.6*k, 0.3*k, 0.1*k], np.float32)
+    R, t = lie.exp_se3(jnp.asarray(xi))
+    Rs.append(np.asarray(R)); ts.append(np.asarray(t))
+R_gt, t_gt = np.stack(Rs), np.stack(ts)
+op, ol, ouv = [], [], []
+for k in range(n_poses):
+    p = X_gt @ R_gt[k].T + t_gt[k]
+    uv = np.asarray(PROJECT(jnp.asarray(p)))
+    for j in range(128):
+        op.append(k); ol.append(j); ouv.append(uv[j] + rng.normal(0, 0.1, 2))
+op = np.array(op, np.int32); ol = np.array(ol, np.int32)
+ouv = np.array(ouv, np.float32)
+olev = np.zeros(op.shape[0], np.int32); om = np.ones(op.shape[0], np.float32)
+
+# Perturb the wide-angle landmarks only: with the z>0 cheirality gate their
+# observations are zero-weighted and they can never recover.
+X0 = X_gt.copy()
+X0[wide] += rng.normal(0, 0.08, (64, 3)).astype(np.float32)
+fixed = np.ones(n_poses, np.float32)  # poses frozen: pure triangulation test
+
+mesh = make_ba_mesh()
+(X_sh, lmm_sh, op_sh, ol_sh, ouv_sh, olev_sh, om_sh,
+ dev_of_lm, local_of_lm, Mb, obs_slot) = shard_ba_problem(
+    mesh, 8, X0, np.ones(128, np.float32), op, ol, ouv, olev, om)
+shd = NamedSharding(mesh, P("data"))
+rep = NamedSharding(mesh, P())
+put = lambda a, s: jax.device_put(jnp.asarray(a), s)
+
+R_f, t_f, X_f, chi2_f = distributed_bundle_adjust(
+    mesh, PROJECT, PROJECT_JAC,
+    put(R_gt, rep), put(t_gt, rep), put(fixed, rep),
+    put(X_sh, shd), put(lmm_sh, shd),
+    put(op_sh, shd), put(ol_sh, shd), put(ouv_sh, shd),
+    put(olev_sh, shd), put(om_sh, shd),
+    n_iters=12, assembly="pcg", wide_fov=True,
+)
+X_out = np.asarray(X_f).reshape(8, Mb, 3)
+X_rec = np.zeros_like(X_gt)
+for j in range(128):
+    X_rec[j] = X_out[dev_of_lm[j], local_of_lm[j]]
+err_wide = np.linalg.norm(X_rec[wide] - X_gt[wide], axis=1)
+assert np.median(err_wide) < 0.02, np.median(err_wide)
+
+# Their observations must also survive the caller's chi2 culling gate.
+chi2 = np.asarray(chi2_f)
+slot = np.asarray(obs_slot).reshape(-1)
+live = slot >= 0
+chi2_by_obs = np.zeros(op.shape[0], np.float32)
+chi2_by_obs[slot[live]] = chi2[live]
+wide_obs = wide[ol]
+assert np.median(chi2_by_obs[wide_obs]) < CHI2_MONO, \
+    np.median(chi2_by_obs[wide_obs])
+print("DIST_FISHEYE_OK", float(np.median(err_wide)))
+"""
+
+
+def test_distributed_ba_fisheye_wide_fov():
+    """KB8 map through the mesh GBA: observations past 90 deg off-axis
+    (z < 0) must stay live (VERDICT round-3 missing: dist_ba hard-coded
+    the pinhole z > 0 cheirality gate, zero-weighting every wide-angle
+    fisheye observation)."""
+    res = run_in_cpu_mesh(FISHEYE_DIST_BA_PROGRAM, n_devices=8)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "DIST_FISHEYE_OK" in res.stdout, res.stdout
