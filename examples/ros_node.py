@@ -43,7 +43,10 @@ def decode_image(msg):
         img = (img[..., 0] * wgt[0] + img[..., 1] * wgt[1]
                + img[..., 2] * wgt[2])
     elif enc in ("mono16", "16uc1"):
-        img = buf.view(np.uint16).reshape(h, msg.step // 2)[:, :w]
+        dt = np.dtype(np.uint16)
+        if getattr(msg, "is_bigendian", 0):
+            dt = dt.newbyteorder(">")
+        img = buf.view(dt).reshape(h, msg.step // 2)[:, :w]
     else:
         raise ValueError(f"unsupported image encoding: {msg.encoding}")
     return np.asarray(img, np.float32)
@@ -60,11 +63,16 @@ class SlamNode:
     reference's GrabImu/SyncWithImu pattern
     (ros_mono_inertial.cc ImuGrabber/ImageGrabber)."""
 
-    def __init__(self, slam, sensor: str, imu_freq: float = 200.0):
+    def __init__(self, slam, sensor: str, imu_freq: float = 200.0,
+                 depth_factor: float = 1000.0):
         self.slam = slam
         self.sensor = sensor
         self.inertial = sensor.endswith("-inertial")
         self.imu_freq = imu_freq
+        # Raw ROS depth topics are usually mono16 millimeters; the engine
+        # wants metric depth, so divide by DepthMapFactor exactly like the
+        # reference (Tracking.cc:577-581 imDepth.convertTo(1/mDepthMapFactor)).
+        self.depth_factor = float(depth_factor)
         self._imu = []          # (t, ax, ay, az, gx, gy, gz)
         self._last_t = None
         self._pending_left = None   # (ts, img) awaiting its stereo pair
@@ -113,15 +121,25 @@ class SlamNode:
     def on_stereo(self, msg_l, msg_r):
         ts = stamp_to_sec(msg_l.header.stamp)
         imu = self._drain_imu(ts)
-        self.slam.track_stereo(decode_image(msg_l), decode_image(msg_r),
-                               ts, imu=imu)
+        img_l, img_r = decode_image(msg_l), decode_image(msg_r)
+        rect = getattr(self.slam, "rectifier", None)
+        if rect is not None:
+            # build_system installed RECTIFIED intrinsics for a raw
+            # distorted rig — feed it rectified pixels, like
+            # run_euroc.run_sequence does.
+            img_l = rect.remap_left(img_l)
+            img_r = rect.remap_right(img_r)
+        self.slam.track_stereo(img_l, img_r, ts, imu=imu)
         self._last_t = ts
         self.n_frames += 1
 
     def on_rgbd(self, msg_rgb, msg_depth):
         ts = stamp_to_sec(msg_rgb.header.stamp)
-        self.slam.track_rgbd(decode_image(msg_rgb), decode_image(msg_depth),
-                             ts)
+        depth = decode_image(msg_depth)
+        if self.depth_factor not in (0.0, 1.0):
+            depth = depth / self.depth_factor
+        imu = self._drain_imu(ts)
+        self.slam.track_rgbd(decode_image(msg_rgb), depth, ts, imu=imu)
         self._last_t = ts
         self.n_frames += 1
 

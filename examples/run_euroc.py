@@ -90,13 +90,21 @@ def build_system(args):
                         dist=tuple(dist2))
         if args.sensor.endswith("-inertial"):
             calib = st.imu_calib()
+            R_bc = np.asarray(calib.R_bc, np.float64)
+            if rectifier is not None:
+                # The tracker now lives in the RECTIFIED left camera, so the
+                # body<-camera rotation must absorb the rectifying rotation
+                # (Settings.cc:521-526, Tbc_ = Tbc_ * T_r1_u1.inverse()):
+                # p_b = R_bc R_rect_l^T p_rect; translation is unchanged
+                # because rectification rotates about the camera center.
+                R_bc = R_bc @ rectifier.R_rect_l.T
             sys_kw.update(
                 imu_noise_gyro=float(calib.noise_gyro),
                 imu_noise_acc=float(calib.noise_acc),
                 imu_walk_gyro=float(calib.walk_gyro),
                 imu_walk_acc=float(calib.walk_acc),
                 imu_freq=float(calib.freq),
-                imu_R_bc=tuple(map(tuple, np.asarray(calib.R_bc))),
+                imu_R_bc=tuple(map(tuple, R_bc)),
                 imu_t_bc=tuple(np.asarray(calib.t_bc)),
             )
         cfg = SystemConfig(**sys_kw)

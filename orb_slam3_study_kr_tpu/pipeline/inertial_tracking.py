@@ -377,8 +377,11 @@ class ImuMixin:
             # with a broken-scale pose; its two inertial edges dominate the
             # whitened residuals.  Drop the interior chain keyframe
             # touching the worst edge and re-solve.
-            norms = np.asarray(self.stats.get("imu_init_edge_norms"))
-            if norms is None or norms.size != len(sel) - 1:
+            norms = self.stats.get("imu_init_edge_norms")
+            if norms is None:
+                break
+            norms = np.asarray(norms)
+            if norms.size != len(sel) - 1:
                 break
             e = int(np.argmax(norms))
             cand_j = [j for j in (e, e + 1) if 0 < j < len(sel) - 1]
@@ -799,6 +802,28 @@ class StereoInertialTracker(ImuMixin, StereoTracker):
                                 imu_rows):
         self._ingest_imu(imu_rows, timestamp)
         frame = self.process_stereo(img_left, img_right, timestamp)
+        self._note_initial_keyframes()
+        if self.state != TrackState.OK:
+            self._last_glitch_ts = timestamp
+        if frame.pose_ok and frame.v_w is None and self.imu_stage > 0:
+            frame.v_w = self.map.kf_v[self.ref_kf].copy()
+        return frame
+
+
+class RgbdInertialTracker(ImuMixin, StereoTracker):
+    """RGB-D-inertial tracking (reference System.h:93 IMU_RGBD,
+    Examples/RGB-D-Inertial/rgbd_inertial_realsense_D435i.cc): the RGB-D
+    front end (depth-sampled virtual right coordinates) composed with the
+    fix-scale IMU machinery, exactly how stereo-inertial composes."""
+
+    def __init__(self, cfg, slam_map, calib: ImuCalib = None,
+                 imu_init_times=(2.0, 5.0, 15.0), **kw):
+        super().__init__(cfg, slam_map, **kw)
+        self._init_imu_state(calib or ImuCalib.make(), imu_init_times)
+
+    def process_rgbd_inertial(self, img, depth_map, timestamp, imu_rows):
+        self._ingest_imu(imu_rows, timestamp)
+        frame = self.process_rgbd(img, depth_map, timestamp)
         self._note_initial_keyframes()
         if self.state != TrackState.OK:
             self._last_glitch_ts = timestamp

@@ -6,9 +6,10 @@ per-frame rectified stereo matching gives metric depth for a subset of
 keypoints; initialization is immediate (backproject close keypoints into
 landmarks at the first frame), and every new keyframe also spawns
 landmarks from unbound close stereo points (CreateNewKeyFrame's stereo
-branch).  Bundle adjustment currently uses the left-camera reprojection
-residuals; the stereo (u, v, u_r) 3-dof edge is a round-2 refinement —
-metric scale is maintained by the continuous injection of metric-depth
+branch).  Observations with a measured right coordinate contribute the
+stereo (u, v, u_r) 3-dof residual in pose optimization and BA
+(solvers/local_ba.py:137-143 via the bf/ur plumbing here); metric scale
+is additionally maintained by the continuous injection of metric-depth
 landmarks.
 
 RGB-D reuses the same path with depth measured instead of matched

@@ -21,7 +21,7 @@ from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM, Atlas
 class SystemConfig:
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
     # "mono" | "stereo" | "rgbd" | "mono-inertial" | "stereo-inertial"
-    # (System.h eSensor)
+    # | "rgbd-inertial" (System.h eSensor incl. IMU_RGBD=5)
     sensor: str = "mono"
     baseline: float = 0.11   # stereo baseline [m] (Camera.bf / fx)
     # Fisheye (KB8) stereo rigs are non-rectified: the full extrinsic
@@ -64,7 +64,8 @@ class SlamSystem:
 
     def __init__(self, cfg: SystemConfig = None):
         self.cfg = cfg or SystemConfig()
-        if (self.cfg.sensor in ("stereo", "rgbd", "stereo-inertial")
+        if (self.cfg.sensor in ("stereo", "rgbd", "stereo-inertial",
+                                "rgbd-inertial")
                 and self.cfg.tracker.bf == 0.0
                 and self.cfg.tracker.camera_model != "kb8"):
             # Fisheye stereo keeps bf = 0: residuals stay per-camera KB8
@@ -145,6 +146,13 @@ class SlamSystem:
                 return InertialTracker(
                     c.tracker, m, calib=calib,
                     imu_init_times=c.imu_init_times, **kw)
+            if self.cfg.sensor == "rgbd-inertial":
+                from orb_slam3_study_kr_tpu.pipeline.inertial_tracking import (
+                    RgbdInertialTracker)
+                return RgbdInertialTracker(
+                    c.tracker, m, calib=calib,
+                    imu_init_times=c.imu_init_times,
+                    baseline=c.baseline, depth_factor=c.depth_factor, **kw)
             if c.tracker.camera_model == "kb8":
                 from orb_slam3_study_kr_tpu.pipeline.inertial_tracking import (
                     FisheyeStereoInertialTracker)
@@ -472,12 +480,19 @@ class SlamSystem:
         self._check_bad_imu(frame)
         return frame
 
-    def track_rgbd(self, img, depth_map, timestamp):
-        """System::TrackRGBD: image + registered metric depth map."""
+    def track_rgbd(self, img, depth_map, timestamp, imu=None):
+        """System::TrackRGBD: image + registered metric depth map
+        (+ optional IMU rows for the rgbd-inertial sensor)."""
         self._check_timestamp(timestamp)
         t0 = time.perf_counter()
-        frame = self.tracker.process_rgbd(img, depth_map, timestamp)
+        if self.cfg.sensor == "rgbd-inertial":
+            frame = self.tracker.process_rgbd_inertial(
+                img, depth_map, timestamp,
+                imu if imu is not None else np.zeros((0, 7), np.float32))
+        else:
+            frame = self.tracker.process_rgbd(img, depth_map, timestamp)
         self.timings.append(time.perf_counter() - t0)
+        self._check_bad_imu(frame)
         return frame
 
     def activate_localization_mode(self):

@@ -786,7 +786,7 @@ class MonoTracker:
         _, bound_now = frame.bound_obs()
         if bound_now.size:
             lm_ids = lm_ids[~np.isin(lm_ids, bound_now)]
-        if cfg.fused_rounds and not self._custom_pose_opt_active():
+        if self._use_fused_rounds():
             # Single-dispatch round (match + verify + bind + solve); the
             # wide-gate geometry is synthesized into the landmark block.
             n = self._fused_round_wide(frame, lm_ids, R_pred, t_pred, th=3.0)
@@ -889,7 +889,7 @@ class MonoTracker:
         cand = np.concatenate(chunks) if chunks else np.empty(0, np.int32)
         cand = cand[m.lm_valid[cand]]
         cand = cand[~np.isin(cand, lms)]
-        if cfg.fused_rounds and not self._custom_pose_opt_active():
+        if self._use_fused_rounds():
             return self._track_local_map_fused(frame, cand)
         matched_lm, visible, used_ids = self._match_against_landmarks(
             frame, cand, frame.R_cw, frame.t_cw, th=1.0
@@ -925,6 +925,14 @@ class MonoTracker:
         in-program visual GN must then yield to the split path so the
         custom solve stays in the loop."""
         return False
+
+    def _use_fused_rounds(self) -> bool:
+        """The fused program covers the split path's semantics except the
+        raw patch-ZNCC appearance gate (off by default); when that gate is
+        enabled the split path must run so it is honored."""
+        return (self.cfg.fused_rounds
+                and self.cfg.patch_zncc_min <= -1
+                and not self._custom_pose_opt_active())
 
     def _build_lm_block(self, cand, L, wide_gates=False,
                         R_pred=None, t_pred=None):

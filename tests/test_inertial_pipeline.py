@@ -83,6 +83,42 @@ def test_inertial_init_recovers_scale_gravity_bias():
 
 
 @pytest.mark.slow
+def test_rgbd_inertial_pipeline():
+    """End-to-end RGB-D-inertial (System.h:93 IMU_RGBD): depth gives metric
+    scale from frame one, the staged fix-scale IMU init must accept with a
+    scale factor near 1, and the unaligned (metric) ATE must stay small."""
+    rng = np.random.default_rng(13)
+    world = synthetic.make_textured_world(rng, depth=6.0)
+    n = 50
+    traj = synthetic.inertial_trajectory(
+        n, fps=10.0, imu_freq=200.0, rng=rng,
+        amp=(0.45, 0.18, 0.0), omega=(1.5, 0.9, 0.0),
+        rot_amp=(0.0, 0.0, 0.0))
+    R_gt, t_gt = traj["R_cw"], traj["t_cw"]
+    slam = SlamSystem(SystemConfig(
+        sensor="rgbd-inertial", imu_init_times=(2.5, 4.0, 5.0),
+        tracker=TrackerConfig(fps=10)))
+    for i in range(n):
+        img, depth = synthetic.render_textured(world, R_gt[i], t_gt[i],
+                                               rng=rng, return_depth=True)
+        depth = np.where(np.isfinite(depth), depth, 0.0)
+        slam.track_rgbd(img, depth, traj["timestamps"][i],
+                        imu=traj["imu"][i])
+    tr = slam.tracker
+    assert slam.state in (TrackState.OK, TrackState.RECENTLY_LOST)
+    assert tr.imu_stage >= 1, "IMU initialization never accepted"
+    # Depth already fixes metric scale; the fix-scale init must keep it.
+    s_init = tr.stats.get("imu_init_scale")
+    assert s_init is not None and 0.8 < s_init < 1.25
+    rows = slam.trajectory()
+    cen = -np.einsum("nij,nj->ni", R_gt.transpose(0, 2, 1), t_gt)
+    rmse, nm, _ = ate_rmse(rows[:, 0], rows[:, 1:4], traj["timestamps"], cen,
+                           with_scale=False)
+    assert nm > 35
+    assert rmse < 0.25, f"metric ATE {rmse:.3f}"
+
+
+@pytest.mark.slow
 def test_mono_inertial_pipeline():
     """End-to-end monocular-inertial: the staged IMU init must fire on a
     clean-vision excited trajectory, apply a gravity-aligned metric rescale,
