@@ -1,16 +1,16 @@
 """Benchmark harness: one JSON line for the driver.
 
-Primary metric: tracking-step throughput (full ORB pyramid extraction +
-local-map projection matching + pose-only GN solve per frame, the per-frame
-hot path of SURVEY.md section 3.2) on one chip, in frames/s.
+Primary metric (headline): FULL-SYSTEM throughput — frames/s of the whole
+SLAM session (extraction + tracking + background mapping/loop worker) on a
+synthetic mono sequence, against the reference's real-time bar
+(vs_baseline = system frames/s / 20 fps dataset pacing; the reference
+claims real-time on an i7, BASELINE.md).
 
-Baseline: the reference paces EuRoC examples at dataset rate — 20 fps — and
-claims real-time on an i7-class desktop (BASELINE.md); vs_baseline is
-frames/s / 20.
-
-Also measured (reported inside the same JSON object): bundle-adjustment
-iterations/s on a local-BA-sized Schur problem (K=16 poses, M=8192
-landmarks, O=32768 observations).
+Also measured (inside the same JSON object): the jitted tracking-slice
+frames/s (SURVEY.md section 3.2 hot path), BA iterations/s (dense Schur +
+matrix-free PCG), the fused Pallas matcher A/B, the per-stage
+REGISTER_TIMES-style breakdown, the virtual-mesh BA scaling table, and
+the multi-process (jax.distributed) BA table.
 """
 
 import functools
@@ -91,14 +91,17 @@ def main():
     jax.block_until_ready(out)
     ba_pcg_iters_per_s = n_ba_iters / (time.perf_counter() - t0)
 
-    # --- full-system frames/s (host orchestration + mapping + loops) ---
-    sys_fps = _system_fps()
+    # --- full-system frames/s (host orchestration + async mapping/loops) ---
+    sys_fps, sys_detail = _system_fps()
 
     # --- fused Pallas gated-NN matcher vs the HBM matrix path ---
     match_ms = _matcher_ab()
 
     # --- BA scaling table (virtual CPU mesh; real multi-chip when available)
     scaling = _ba_scaling((1, 2, 4, 8))
+
+    # --- multi-process (jax.distributed) BA: 1 proc vs 2 procs ---
+    multihost = _multihost_ba()
 
     # Sharding overhead efficiency: N-device sharded runtime vs the same
     # TOTAL problem on 1 device.  On this 2-core host, virtual devices
@@ -111,27 +114,35 @@ def main():
         eff = round(scaling["8"] / scaling["1"], 3)
 
     print(json.dumps({
-        "metric": "tracking_frames_per_s",
-        "value": round(fps, 2),
-        "unit": "frames/s (752x480, 1000 feat, 2048-landmark local map)",
-        "vs_baseline": round(fps / 20.0, 3),
-        "baseline_def": "EuRoC dataset pacing 20 fps (reference claims "
-                        "real-time on i7, BASELINE.md)",
-        "system_frames_per_s": round(sys_fps, 2),
+        "metric": "system_frames_per_s",
+        "value": round(sys_fps, 2),
+        "unit": "frames/s, full system (752x480, 1000 feat, async mapping)",
+        "vs_baseline": round(sys_fps / 20.0, 3),
+        "baseline_def": "reference real-time bar: EuRoC dataset pacing "
+                        "20 fps on an i7 (BASELINE.md); note every "
+                        "device<->host sync on this box pays a ~24 ms "
+                        "tunnel RTT the reference does not",
+        "system_detail": sys_detail,
+        "tracking_frames_per_s": round(fps, 2),
+        "tracking_vs_pacing": round(fps / 20.0, 3),
         "ba_iters_per_s": round(ba_iters_per_s, 2),
         "ba_pcg_iters_per_s": round(ba_pcg_iters_per_s, 2),
         "ba_problem": f"K={K} M={M} O={O}",
         "matcher_ms": match_ms,
         "ba_scaling_cpu_mesh": scaling,
         "ba_sharding_overhead_efficiency": eff,
+        "multihost_ba": multihost,
         "host_cores": __import__("os").cpu_count(),
         "device": str(jax.devices()[0]),
     }))
 
 
-def _system_fps(n_frames: int = 36):
-    """Full SlamSystem throughput on a synthetic mono sequence; median of
-    the warm second half (the first frames pay jit compilation)."""
+def _system_fps(n_frames: int = 48):
+    """Full SlamSystem throughput on a synthetic mono sequence with the
+    background mapping/loop worker on (the deployment configuration);
+    median of the warm second half (the first frames pay jit compilation).
+    Also returns the per-stage REGISTER_TIMES-style breakdown and the
+    keyframe-frame stall percentiles."""
     import numpy as np
     from orb_slam3_study_kr_tpu.io import synthetic
     from orb_slam3_study_kr_tpu.pipeline import SlamSystem, SystemConfig
@@ -139,13 +150,25 @@ def _system_fps(n_frames: int = 36):
     rng = np.random.default_rng(5)
     world = synthetic.make_textured_world(rng)
     R, t = synthetic.lateral_trajectory(n_frames, x_span=1.0)
-    slam = SlamSystem(SystemConfig(sensor="mono"))
+    slam = SlamSystem(SystemConfig(sensor="mono", async_mapping=True))
     for i in range(n_frames):
         img = synthetic.render_textured(world, R[i], t[i], rng=rng)
         slam.track_monocular(img, i * 0.05)
-    warm = sorted(slam.timings[n_frames // 2:])
-    med = warm[len(warm) // 2]
-    return 1.0 / max(med, 1e-9)
+    slam.flush()
+    warm = np.sort(np.asarray(slam.timings[n_frames // 2:]))
+    med = float(np.median(warm))
+    detail = {
+        "frame_ms_median": round(med * 1e3, 1),
+        "frame_ms_p90": round(float(np.percentile(warm, 90)) * 1e3, 1),
+        "frame_ms_max_warm": round(float(warm[-1]) * 1e3, 1),
+        "n_keyframes": int(slam.tracker.stats["n_kf"]),
+        "async_tasks": dict(slam.async_map.stats),
+        "stages_ms": {
+            k: {kk: round(vv, 1) for kk, vv in v.items()}
+            for k, v in slam.tracker.timers.summary().items()},
+    }
+    slam.shutdown()
+    return 1.0 / max(med, 1e-9), detail
 
 
 def _matcher_ab(L=4096, N=1024, reps=30):
@@ -190,6 +213,58 @@ def _matcher_ab(L=4096, N=1024, reps=30):
     if jax.default_backend() == "tpu":
         res["pallas"] = round(time_fn(track_match.match_local_map_pallas), 3)
     return res
+
+
+def _multihost_ba():
+    """Multi-process (jax.distributed) BA table: the same seeded problem at
+    1 process x 2 virtual CPU devices and 2 processes x 1 device each (the
+    psums cross process boundaries in the latter).  On this 2-core host the
+    numbers measure the multi-process runtime's overhead, not parallel
+    speedup — on a real multi-host slice each process owns its own chips."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    def run(num_procs, ndev):
+        port = free_port()
+        procs = []
+        for pid in range(num_procs):
+            env = dict(os.environ)
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = \
+                f"--xla_force_host_platform_device_count={ndev}"
+            env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m",
+                 "orb_slam3_study_kr_tpu.parallel.multihost_worker",
+                 str(pid), str(num_procs), str(port), "10", "pcg"],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True))
+        outs = [p.communicate(timeout=600) for p in procs]
+        if any(p.returncode != 0 for p in procs):
+            return None
+        return json.loads(outs[0][0].strip().splitlines()[-1])
+
+    table = {}
+    for label, (np_, nd) in {"1proc_x2dev": (1, 2),
+                             "2proc_x1dev": (2, 1)}.items():
+        try:
+            res = run(np_, nd)
+            table[label] = None if res is None else {
+                "ba_iters_per_s": res["ba_iters_per_s"],
+                "pose_err": res["pose_err"]}
+        except Exception:
+            table[label] = None
+    return table
 
 
 def _ba_scaling(device_counts):

@@ -170,6 +170,36 @@ def match_local_map_auto(*args, **kw):
     return match_local_map(*args, **kw)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "project_fn", "n_levels", "level_slack"))
+def match_local_map_batch(
+    project_fn, R_cws, t_cws,
+    lm_pos, lm_normal, lm_min_dist, lm_max_dist, lm_desc, lm_masks,
+    f_uvs, f_levels, f_descs, f_valids,
+    width, height, th=1.0, nn_ratio=0.8, scale_factor=1.2, n_levels=8,
+    level_slack=1, max_dist=100.0, max_theta_deg=None,
+):
+    """Fuse-style projection matching of ONE shared landmark block into
+    MANY target keyframes in a single program: vmap of match_local_map
+    over the leading (neighbor) axis of R_cws/t_cws/lm_masks/f_*.
+    Replaces a per-neighbor dispatch chain (SearchInNeighbors,
+    LocalMapping.cc:743) with one dispatch + one fetch; pad unused
+    neighbor slots with lm_mask=0 / f_valid=False rows."""
+
+    def one(R, t, lm_mask, f_uv, f_level, f_desc, f_valid):
+        return match_local_map(
+            project_fn, R, t,
+            lm_pos, lm_normal, lm_min_dist, lm_max_dist, lm_desc, lm_mask,
+            f_uv, f_level, f_desc, f_valid,
+            width, height, th=th, nn_ratio=nn_ratio,
+            scale_factor=scale_factor, n_levels=n_levels,
+            level_slack=level_slack, max_dist=max_dist,
+            max_theta_deg=max_theta_deg)
+
+    return jax.vmap(one)(R_cws, t_cws, lm_masks, f_uvs, f_levels, f_descs,
+                         f_valids)
+
+
 @jax.jit
 def match_by_descriptor(
     q_desc, q_valid, t_desc, t_valid, max_dist=50.0, nn_ratio=0.75,

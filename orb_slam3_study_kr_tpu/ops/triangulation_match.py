@@ -122,3 +122,35 @@ def match_and_triangulate(
         & jnp.all(jnp.isfinite(X), axis=-1)
     )
     return dict(idx2=idx2, matched=matched, X=X, good=good, cos_par=cos_par)
+
+
+@functools.partial(jax.jit, static_argnames=("project_fn",))
+def match_and_triangulate_batch(
+    R1, t1, R2s, t2s, project_fn, focal,
+    uv1, b1, level1, desc1, free1,
+    uv2s, b2s, level2s, desc2s, free2s,
+    angle1, angle2s,
+    scale_factor=1.2,
+    epi_chi2=3.84,
+    nn_ratio=0.9,
+):
+    """All-neighbors triangulation in ONE program: vmap of
+    match_and_triangulate over the neighbor axis (leading axis of the
+    *2s arrays), sharing the kf-side arrays.  One dispatch + one fetch
+    replaces a per-neighbor program chain — the per-neighbor matmuls
+    batch onto the MXU instead of serializing.  Pad unused neighbor slots
+    with free2=False rows (they produce no matches)."""
+
+    def one(R2, t2, uv2, b2, level2, desc2, free2, angle2):
+        out = match_and_triangulate(
+            R1, t1, R2, t2, project_fn, focal,
+            uv1, b1, level1, desc1, free1,
+            uv2, b2, level2, desc2, free2,
+            angle1=angle1, angle2=angle2,
+            scale_factor=scale_factor, epi_chi2=epi_chi2,
+            nn_ratio=nn_ratio)
+        return out["idx2"], out["X"], out["good"]
+
+    idx2, X, good = jax.vmap(one)(R2s, t2s, uv2s, b2s, level2s, desc2s,
+                                  free2s, angle2s)
+    return dict(idx2=idx2, X=X, good=good)

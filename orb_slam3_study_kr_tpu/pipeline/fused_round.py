@@ -1,19 +1,27 @@
-"""Fused track-local-map round: match + KLT verify + bind + pose-opt in
-ONE jitted program.
+"""Fused track-local-map rounds: match + KLT verify + bind + pose-opt —
+N complete rounds in ONE jitted program.
 
 The split pipeline pays a host sync (full link round trip on a
 remote-attached chip) after each stage; a tracking frame runs 2-3 rounds
 of (projection match -> photometric verify -> pose GN), i.e. ~9 sync
-boundaries.  This program keeps the whole round on device: the only host
-exchange per round is one argument upload batch and one fetched result
-cluster.
+boundaries.  This program keeps the WHOLE round sequence on device: the
+only host exchange is one argument upload batch and one fetched result
+cluster for all rounds together.  Between rounds the program applies the
+same host-side bookkeeping the split path does:
+
+- landmarks bound in an earlier round leave the candidate block (the
+  split path's ``blk_mask *= ~isin(cand, bound_now)``), and
+- KLT-verified distinctive observation moves are written into the frame
+  coordinates so they benefit the next round's matching/solve (the split
+  path's klt_move_obs application between rounds).
 
 Semantics match tracking.MonoTracker's split path
 (_match_against_landmarks + _klt_refine_matches + _optimize_frame_pose)
-with one deliberate difference: the KLT observation write-back
-(klt_move_obs) is returned to the host and applied AFTER the round, so a
-moved observation benefits the NEXT round's matching/solve instead of the
-same round's (sub-pixel lag, measured neutral).
+with one deliberate difference: a moved observation benefits the NEXT
+round instead of the same round's solve (sub-pixel lag, measured
+neutral), and the stored-patch refresh stays off (the template keeps its
+detection appearance; the KLT verifier tolerates the <= max_shift
+offset).
 """
 
 import functools
@@ -21,17 +29,73 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from orb_slam3_study_kr_tpu.ops import track_match
+from orb_slam3_study_kr_tpu.ops import matching, track_match
 from orb_slam3_study_kr_tpu.ops.klt import klt_refine
 from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM
 from orb_slam3_study_kr_tpu.solvers.pose_opt import optimize_pose
 
 
+_BIG = jnp.int32(1 << 30)
+
+
+def _flow_prologue(flow, kp_lm, kp_lm_pos, lm_mask,
+                   f_uv, f_level, f_desc, f_valid, f_uv_raw, f_angle,
+                   pyr, level_wh, use_klt,
+                   klt_zncc_min, klt_max_shift, flow_radius):
+    """In-program flow anchor (tracking._flow_anchor_matches semantics):
+    pose-free windowed descriptor match of the LAST frame's bound features
+    against the current frame, first-wins on contested keypoints, KLT
+    photometric verification, then bind.  Returns updated
+    (kp_lm, kp_lm_pos, lm_mask, klt outputs for the move write-back)."""
+    (lf_uv, lf_desc, lf_angle, lf_bound, lf_gid, lf_pos, lf_row,
+     lf_tmpl) = flow
+    idx, ok, _ = matching.search_for_initialization(
+        lf_uv, lf_desc, lf_angle, lf_bound,
+        f_uv, f_desc, f_angle, f_valid,
+        window_radius=flow_radius, nn_ratio=0.8,
+    )
+    n1 = lf_uv.shape[0]
+    n2 = f_uv.shape[0]
+    # First-wins on contested current keypoints: the smallest last-frame
+    # index j claiming keypoint k wins (the split path's np.unique order).
+    j_of = jnp.where(ok & lf_bound, jnp.arange(n1, dtype=jnp.int32), _BIG)
+    minj = jnp.full(n2, _BIG, jnp.int32).at[idx].min(j_of)
+    has = minj < _BIG
+    src = jnp.clip(minj, 0, n1 - 1)
+    cand_gid = jnp.where(has, lf_gid[src], NO_LM)
+    cand_pos = lf_pos[src]
+    cand_tmpl = lf_tmpl[src]
+    mask = (cand_gid != NO_LM) & (kp_lm == NO_LM)
+    if use_klt:
+        uv_ref, zncc, shift, _win, distinct = klt_refine(
+            pyr, level_wh, f_uv_raw, f_level, f_angle, cand_tmpl, mask,
+            max_shift=klt_max_shift)
+        good = mask & (zncc >= klt_zncc_min) & (shift < klt_max_shift)
+    else:
+        uv_ref = f_uv_raw
+        distinct = jnp.full((n2,), -1.0, jnp.float32)
+        good = mask
+    kp_lm = jnp.where(good, cand_gid, kp_lm).astype(kp_lm.dtype)
+    kp_lm_pos = jnp.where(good[:, None], cand_pos, kp_lm_pos)
+    # Flow-bound landmarks leave the candidate block (the split path's
+    # ``lm_ids[~isin(lm_ids, bound_now)]``).  Rows are looked up via the
+    # host-built gid->row table; landmarks not in the block map to the
+    # overflow slot.
+    L = lm_mask.shape[0]
+    row = jnp.where(good, lf_row[src], L)
+    row = jnp.where(row < 0, L, row)
+    taken = jnp.zeros(L + 1, lm_mask.dtype).at[row].max(
+        good.astype(lm_mask.dtype))[:L]
+    lm_mask = lm_mask * (1.0 - taken)
+    return kp_lm, kp_lm_pos, lm_mask, (uv_ref, distinct, good), good
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "project_fn", "project_jac_fn", "n_levels", "level_slack", "wide_fov",
-    "use_klt", "use_pallas"))
-def fused_track_round(
-    project_fn, project_jac_fn,
+    "project_fn", "project_jac_fn", "undistort_fn", "n_levels",
+    "level_slack", "wide_fov", "use_klt", "use_pallas", "n_rounds",
+    "move_obs"))
+def fused_track_rounds(
+    project_fn, project_jac_fn, undistort_fn,
     R0, t0,
     lm_pos, lm_normal, lm_min_dist, lm_max_dist, lm_desc, lm_mask, lm_gid,
     lm_patch,
@@ -41,57 +105,106 @@ def fused_track_round(
     width, height,
     th=1.0, nn_ratio=0.8, scale_factor=1.2, n_levels=8, level_slack=1,
     max_theta_deg=None,
-    klt_zncc_min=0.5, klt_max_shift=3.0,
+    klt_zncc_min=0.5, klt_max_shift=3.0, klt_distinct_min=0.15,
     wide_fov=False, use_klt=True, use_pallas=False,
+    n_rounds=1, move_obs=True,
     ur_obs=None, bf=None,
+    flow=None, flow_radius=40.0,
 ):
-    """One round.  Inputs: a padded landmark block (lm_*, with lm_gid the
-    global landmark id per row), the frame's current bindings kp_lm
-    (global ids) with their positions kp_lm_pos, and the frame feature
-    arrays.  Returns (R, t, kp_lm', inliers, visible, klt_move) where
-    klt_move = (uv_ref, win, zncc, shift, distinct, newly_bound)."""
+    """Run ``n_rounds`` complete rounds.  Inputs: a padded landmark block
+    (lm_*, with lm_gid the global landmark id per row), the frame's
+    current bindings kp_lm (global ids) with their positions kp_lm_pos,
+    and the frame feature arrays.  ``undistort_fn`` maps raw pixel coords
+    to the frame's native matching coords (identity for fisheye-native).
+
+    With ``flow`` (see _flow_prologue) the pose-free image-continuity
+    anchor runs first, inside the same program.
+
+    Returns (R, t, kp_lm', inliers, visible_round1,
+             (f_uv', f_uv_raw', ur', moved), n_flow) where the primed
+    frame coordinate arrays carry every accepted KLT observation move,
+    ``moved`` marks the keypoints that moved, and n_flow counts
+    flow-anchor bindings."""
     matcher = (track_match.match_local_map_pallas if use_pallas
                else track_match.match_local_map)
-    lm_slot, ok, visible = matcher(
-        project_fn, R0, t0,
-        lm_pos, lm_normal, lm_min_dist, lm_max_dist, lm_desc, lm_mask,
-        f_uv, f_level, f_desc, f_valid,
-        width, height, th=th, nn_ratio=nn_ratio, scale_factor=scale_factor,
-        n_levels=n_levels, level_slack=level_slack,
-        max_theta_deg=max_theta_deg,
-    )
-    free = kp_lm == NO_LM
-    cand_ok = ok & free
+    visible_r1 = None
+    inl = jnp.zeros(f_uv.shape[0], bool)
+    R, t = R0, t0
+    ur = ur_obs
+    moved_any = jnp.zeros(f_uv.shape[0], bool)
+    n_flow = jnp.int32(0)
 
-    tmpl = lm_patch[lm_slot]
-    if use_klt:
-        uv_ref, zncc, shift, _win, distinct = klt_refine(
-            pyr, level_wh, f_uv_raw, f_level, f_angle, tmpl, cand_ok,
-            max_shift=klt_max_shift)
-        good = cand_ok & (zncc >= klt_zncc_min) & (shift < klt_max_shift)
-    else:
-        n = f_uv.shape[0]
-        uv_ref = f_uv_raw
-        zncc = jnp.full((n,), -1.0, jnp.float32)
-        shift = jnp.full((n,), klt_max_shift + 1.0, jnp.float32)
-        distinct = jnp.full((n,), -1.0, jnp.float32)
-        good = cand_ok
+    if flow is not None:
+        kp_lm, kp_lm_pos, lm_mask, (fl_uv_ref, fl_distinct, fl_good), took = \
+            _flow_prologue(flow, kp_lm, kp_lm_pos, lm_mask,
+                           f_uv, f_level, f_desc, f_valid, f_uv_raw,
+                           f_angle, pyr, level_wh, use_klt,
+                           klt_zncc_min, klt_max_shift, flow_radius)
+        n_flow = took.sum().astype(jnp.int32)
+        if use_klt and move_obs:
+            move = fl_good & (fl_distinct >= klt_distinct_min)
+            du = fl_uv_ref[:, 0] - f_uv_raw[:, 0]
+            f_uv_raw = jnp.where(move[:, None], fl_uv_ref, f_uv_raw)
+            f_uv = jnp.where(move[:, None], undistort_fn(f_uv_raw), f_uv)
+            if ur is not None:
+                ur = jnp.where(move & (ur >= 0), ur + du, ur)
+            moved_any = moved_any | move
 
-    new_gid = lm_gid[lm_slot]
-    kp_lm_new = jnp.where(good, new_gid, kp_lm)
-    X = jnp.where(good[:, None], lm_pos[lm_slot], kp_lm_pos)
-    bound = (kp_lm_new != NO_LM) & f_valid
-    stereo_kw = {}
-    if ur_obs is not None:
-        stereo_kw = dict(ur_obs=ur_obs, bf=bf)
-    R, t, inl, _ = optimize_pose(
-        project_fn, project_jac_fn, R0, t0, X, f_uv, f_level,
-        bound.astype(jnp.float32), wide_fov=wide_fov, **stereo_kw)
-    inl = inl & bound
-    kp_lm_out = jnp.where(inl, kp_lm_new, NO_LM).astype(kp_lm.dtype)
-    # The aligned intensity window is deliberately NOT returned: it is the
-    # one large (N, P, P) output and only feeds the stored-patch refresh;
-    # in fused mode the template keeps its original detection appearance
-    # (the KLT verifier tolerates the <= max_shift offset).
-    return (R, t, kp_lm_out, inl, visible,
-            (uv_ref, zncc, shift, distinct, good))
+    for _ in range(n_rounds):
+        lm_slot, ok, visible = matcher(
+            project_fn, R, t,
+            lm_pos, lm_normal, lm_min_dist, lm_max_dist, lm_desc, lm_mask,
+            f_uv, f_level, f_desc, f_valid,
+            width, height, th=th, nn_ratio=nn_ratio,
+            scale_factor=scale_factor,
+            n_levels=n_levels, level_slack=level_slack,
+            max_theta_deg=max_theta_deg,
+        )
+        if visible_r1 is None:
+            visible_r1 = visible
+        free = kp_lm == NO_LM
+        cand_ok = ok & free
+
+        tmpl = lm_patch[lm_slot]
+        if use_klt:
+            uv_ref, zncc, shift, _win, distinct = klt_refine(
+                pyr, level_wh, f_uv_raw, f_level, f_angle, tmpl, cand_ok,
+                max_shift=klt_max_shift)
+            good = cand_ok & (zncc >= klt_zncc_min) & (shift < klt_max_shift)
+        else:
+            uv_ref = f_uv_raw
+            distinct = jnp.full((f_uv.shape[0],), -1.0, jnp.float32)
+            good = cand_ok
+
+        new_gid = lm_gid[lm_slot]
+        kp_lm_new = jnp.where(good, new_gid, kp_lm)
+        X = jnp.where(good[:, None], lm_pos[lm_slot], kp_lm_pos)
+        bound = (kp_lm_new != NO_LM) & f_valid
+        stereo_kw = {}
+        if ur is not None:
+            stereo_kw = dict(ur_obs=ur, bf=bf)
+        R, t, inl, _ = optimize_pose(
+            project_fn, project_jac_fn, R, t, X, f_uv, f_level,
+            bound.astype(jnp.float32), wide_fov=wide_fov, **stereo_kw)
+        inl = inl & bound
+        kp_lm = jnp.where(inl, kp_lm_new, NO_LM).astype(kp_lm.dtype)
+        kp_lm_pos = X
+
+        # Inter-round bookkeeping (and final-result state):
+        # 1) bound landmarks leave the candidate block;
+        taken = jnp.zeros(lm_mask.shape[0], lm_mask.dtype).at[lm_slot].max(
+            (good & inl).astype(lm_mask.dtype))
+        lm_mask = lm_mask * (1.0 - taken)
+        # 2) verified + DISTINCTIVE moves update the observation coords
+        # (the anti-aliasing gate of the split path's klt_move_obs).
+        if use_klt and move_obs:
+            move = good & inl & (distinct >= klt_distinct_min)
+            du = uv_ref[:, 0] - f_uv_raw[:, 0]
+            f_uv_raw = jnp.where(move[:, None], uv_ref, f_uv_raw)
+            f_uv = jnp.where(move[:, None], undistort_fn(f_uv_raw), f_uv)
+            if ur is not None:
+                ur = jnp.where(move & (ur >= 0), ur + du, ur)
+            moved_any = moved_any | move
+
+    return (R, t, kp_lm, inl, visible_r1,
+            (f_uv, f_uv_raw, ur, moved_any), n_flow)

@@ -24,6 +24,14 @@ def _bucket(n, step):
     return max(step, -(-n // step) * step)
 
 
+def _nb_bucket(n, caps):
+    """Smallest bucket >= n from `caps` (bounds batched-program variants)."""
+    for c in caps:
+        if n <= c:
+            return c
+    return caps[-1]
+
+
 @dataclass
 class LocalMapper:
     cfg: "TrackerConfig"
@@ -71,17 +79,21 @@ class LocalMapper:
         m = self.map
         if m.n_kf < 2:
             return
-        self._cull_recent(kf)
+        with m.lock:
+            self._cull_recent(kf)
         self._create_new_landmarks(kf)
         self._fuse_neighbors(kf)
         if m.n_kf >= 3:
             if self.inertial_ba is not None and m.imu_initialized:
-                if not self.inertial_ba(kf):
+                with m.lock:
+                    ok = self.inertial_ba(kf)
+                if not ok:
                     self._local_ba(kf)
             else:
                 self._local_ba(kf)
         if self.enable_kf_culling and m.n_kf >= 5:
-            self._cull_keyframes(kf)
+            with m.lock:
+                self._cull_keyframes(kf)
 
     # ------------------------------------------------------------------
     def _cull_recent(self, kf: int):
@@ -110,25 +122,29 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def _create_new_landmarks(self, kf: int):
+        m = self.map
+        with m.lock:
+            pending = self._triangulation_dispatch(kf)
+        if pending is None:
+            return
+        nbs, out = pending
+        # Fetch OUTSIDE the lock: the tracker interleaves here.
+        good, idx2, X = jax.device_get((out["good"], out["idx2"], out["X"]))
+        with m.lock:
+            self._triangulation_apply(kf, nbs, good, idx2, X)
+
+    def _triangulation_dispatch(self, kf: int):
+        """ALL neighbors' matching+triangulation in ONE batched program
+        (vmap over the neighbor axis): one dispatch + one fetch instead of
+        a per-neighbor program chain; the neighbor count is bucketed and
+        padded with no-match rows to bound recompilation."""
         cfg, m = self.cfg, self.map
         neighbors, _ = m.covisibility(kf, min_shared=10)
         neighbors = neighbors[: self.n_neighbors]
         if neighbors.size == 0 and m.n_kf >= 2:
             neighbors = np.array([kf - 1], np.int32)
-        free1 = m.kf_kp_valid[kf] & (m.kf_kp_lm[kf] == NO_LM)
         center1 = m.kf_center(kf)
-        # Phase 1: dispatch matching+triangulation against every neighbor
-        # (async), fetch all results in ONE round trip.  All dispatches see
-        # the same initial `free1`; keypoints that two neighbors both
-        # triangulate are resolved on the host (first neighbor wins, like
-        # the reference's sequential loop order).
-        uv_a = jnp.asarray(m.kf_kp_uv[kf])
-        ray_a = self.cfg.unproject_fn(uv_a)
-        lvl_a = jnp.asarray(m.kf_kp_level[kf])
-        desc_a = jnp.asarray(m.kf_desc[kf])
-        ang_a = jnp.asarray(m.kf_kp_angle[kf])
-        free1_dev = jnp.asarray(free1)
-        pending = []
+        nbs = []
         for nb in neighbors:
             nb = int(nb)
             # Baseline / median-depth ratio gate (CreateNewMapPoints skips
@@ -141,28 +157,38 @@ class LocalMapper:
                 med_depth = np.median(p[:, 2])
                 if baseline / max(med_depth, 1e-9) < 0.01:
                     continue
-            free2 = m.kf_kp_valid[nb] & (m.kf_kp_lm[nb] == NO_LM)
-            uv_b = jnp.asarray(m.kf_kp_uv[nb])
-            out = triangulation_match.match_and_triangulate(
-                jnp.asarray(m.kf_R[kf]), jnp.asarray(m.kf_t[kf]),
-                jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]),
-                self.cfg.project_fn, jnp.float32(self.cfg.focal),
-                uv_a, ray_a, lvl_a, desc_a, free1_dev,
-                uv_b, self.cfg.unproject_fn(uv_b),
-                jnp.asarray(m.kf_kp_level[nb]),
-                jnp.asarray(m.kf_desc[nb]), jnp.asarray(free2),
-                angle1=ang_a,
-                angle2=jnp.asarray(m.kf_kp_angle[nb]),
-            )
-            pending.append((nb, out))
-        if not pending:
-            return
-        fetched = jax.device_get(
-            [(o["good"], o["idx2"], o["X"]) for _, o in pending])
-        # Phase 2: host-side binding, earlier neighbors take precedence on
-        # contested keypoints of kf.
+            nbs.append(nb)
+        if not nbs:
+            return None
+        NB = _nb_bucket(len(nbs), (4, 12, self.n_neighbors))
+        sl = np.asarray(nbs + [0] * (NB - len(nbs)), np.int32)
+        free1 = m.kf_kp_valid[kf] & (m.kf_kp_lm[kf] == NO_LM)
+        free2s = m.kf_kp_valid[sl] & (m.kf_kp_lm[sl] == NO_LM)
+        free2s[len(nbs):] = False      # padded slots produce no matches
+        uv_a = jnp.asarray(m.kf_kp_uv[kf])
+        uv2s = jnp.asarray(m.kf_kp_uv[sl])
+        out = triangulation_match.match_and_triangulate_batch(
+            jnp.asarray(m.kf_R[kf]), jnp.asarray(m.kf_t[kf]),
+            jnp.asarray(m.kf_R[sl]), jnp.asarray(m.kf_t[sl]),
+            cfg.project_fn, jnp.float32(cfg.focal),
+            uv_a, cfg.unproject_fn(uv_a),
+            jnp.asarray(m.kf_kp_level[kf]), jnp.asarray(m.kf_desc[kf]),
+            jnp.asarray(free1),
+            uv2s, cfg.unproject_fn(uv2s),
+            jnp.asarray(m.kf_kp_level[sl]), jnp.asarray(m.kf_desc[sl]),
+            jnp.asarray(free2s),
+            jnp.asarray(m.kf_kp_angle[kf]), jnp.asarray(m.kf_kp_angle[sl]),
+        )
+        return nbs, out
+
+    def _triangulation_apply(self, kf: int, nbs, good_all, idx2_all, X_all):
+        """Host-side binding; earlier neighbors take precedence on
+        contested keypoints of kf."""
+        m = self.map
+        free1 = m.kf_kp_valid[kf] & (m.kf_kp_lm[kf] == NO_LM)
         created = []
-        for (nb, _), (good, idx2, Xall) in zip(pending, fetched):
+        for i, nb in enumerate(nbs):
+            good, idx2, Xall = good_all[i], idx2_all[i], X_all[i]
             good = good & free1
             if not good.any():
                 continue
@@ -185,18 +211,30 @@ class LocalMapper:
         """SearchInNeighbors: project this keyframe's landmarks into its
         covisible neighbors; bind free keypoints, and resolve duplicates in
         favor of the landmark with more observations."""
+        m = self.map
+        with m.lock:
+            state = self._fuse_dispatch(kf)
+        if state is None:
+            return
+        nbs, cand, out, lms_kf, obs = state
+        lm_slot, ok = jax.device_get(out)
+        with m.lock:
+            self._fuse_apply(nbs, cand, lm_slot, ok, lms_kf, obs)
+
+    def _fuse_dispatch(self, kf: int):
+        """ALL neighbors' fusion matching in ONE batched program: the
+        keyframe's landmark block is shared, each neighbor gets its own
+        exclusion mask row (landmarks it already binds)."""
         cfg, m = self.cfg, self.map
         neighbors, _ = m.covisibility(kf, min_shared=10)
         neighbors = neighbors[:10]
         lms_kf = m.kf_kp_lm[kf]
         lms_kf = np.unique(lms_kf[lms_kf != NO_LM])
-        if lms_kf.size == 0:
-            return
+        if lms_kf.size == 0 or neighbors.size == 0:
+            return None
         obs = m.landmark_obs_count()
-        # Phase 1: dispatch the projection matcher for every neighbor
-        # (async), then fetch every result in ONE device->host round trip —
-        # a per-neighbor fetch pays the full link RTT each time.
         L = 1024
+        cand = lms_kf[:L]
 
         def pad(a, fill=0):
             if a.shape[0] >= L:
@@ -205,35 +243,38 @@ class LocalMapper:
                 [a, np.full((L - a.shape[0], *a.shape[1:]), fill, a.dtype)]
             )
 
-        pending = []
-        for nb in neighbors:
-            nb = int(nb)
-            cand = lms_kf[~np.isin(lms_kf, m.kf_kp_lm[nb])]
-            if cand.size == 0:
-                continue
-            cand = cand[:L]
-            lm_slot, ok, _ = track_match.match_local_map_auto(
-                cfg.project_fn, jnp.asarray(m.kf_R[nb]), jnp.asarray(m.kf_t[nb]),
-                jnp.asarray(pad(m.lm_pos[cand])),
-                jnp.asarray(pad(m.lm_normal[cand])),
-                jnp.asarray(pad(m.lm_min_dist[cand])),
-                jnp.asarray(pad(m.lm_max_dist[cand])),
-                jnp.asarray(pad(m.lm_desc[cand])),
-                jnp.asarray(pad(np.ones(cand.size, np.float32))),
-                jnp.asarray(m.kf_kp_uv[nb]), jnp.asarray(m.kf_kp_level[nb]),
-                jnp.asarray(m.kf_desc[nb]),
-                jnp.asarray(m.kf_kp_valid[nb]),
-                cfg.width, cfg.height, th=3.0, max_dist=50.0,
-                max_theta_deg=cfg.max_theta_deg,
-            )
-            pending.append((nb, cand, lm_slot, ok))
-        if not pending:
-            return
-        fetched = jax.device_get([(p[2], p[3]) for p in pending])
-        # Phase 2: host-side binding / duplicate resolution.  A Replace in
-        # an earlier neighbor can invalidate a landmark a later result
-        # still names; those are skipped (lm_valid check).
-        for (nb, cand, _, _), (lm_slot, ok) in zip(pending, fetched):
+        nbs = [int(nb) for nb in neighbors]
+        NB = _nb_bucket(len(nbs), (4, 10))
+        sl = np.asarray(nbs + [0] * (NB - len(nbs)), np.int32)
+        base = pad(np.ones(cand.size, np.float32))
+        masks = np.zeros((NB, L), np.float32)
+        for i, nb in enumerate(nbs):
+            masks[i] = base * ~np.isin(
+                np.pad(cand, (0, L - cand.size)), m.kf_kp_lm[nb])
+        valids = m.kf_kp_valid[sl].copy()
+        valids[len(nbs):] = False      # padded slots produce no matches
+        out = track_match.match_local_map_batch(
+            cfg.project_fn, jnp.asarray(m.kf_R[sl]), jnp.asarray(m.kf_t[sl]),
+            jnp.asarray(pad(m.lm_pos[cand])),
+            jnp.asarray(pad(m.lm_normal[cand])),
+            jnp.asarray(pad(m.lm_min_dist[cand])),
+            jnp.asarray(pad(m.lm_max_dist[cand])),
+            jnp.asarray(pad(m.lm_desc[cand])),
+            jnp.asarray(masks),
+            jnp.asarray(m.kf_kp_uv[sl]), jnp.asarray(m.kf_kp_level[sl]),
+            jnp.asarray(m.kf_desc[sl]), jnp.asarray(valids),
+            cfg.width, cfg.height, th=3.0, max_dist=50.0,
+            max_theta_deg=cfg.max_theta_deg,
+        )
+        return nbs, cand, out[:2], lms_kf, obs
+
+    def _fuse_apply(self, nbs, cand, lm_slot_all, ok_all, lms_kf, obs):
+        """Host-side binding / duplicate resolution.  A Replace in an
+        earlier neighbor can invalidate a landmark a later result still
+        names; those are skipped (lm_valid check)."""
+        m = self.map
+        for i, nb in enumerate(nbs):
+            lm_slot, ok = lm_slot_all[i], ok_all[i]
             for kp in np.nonzero(ok)[0]:
                 lm_new = int(cand[min(lm_slot[kp], cand.size - 1)])
                 if not m.lm_valid[lm_new]:
@@ -323,6 +364,21 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def _local_ba(self, kf: int):
+        m = self.map
+        with m.lock:
+            prob = self._local_ba_assemble(kf)
+            if prob is None:
+                return
+            out = bundle_adjust(*prob["args"], n_iters=self.ba_iters,
+                                wide_fov=self.cfg.camera_model == "kb8",
+                                **prob["stereo_kw"])
+        # The solve runs while the lock is free (tracker interleaves);
+        # only the write-back below re-acquires it.
+        R, t, X_new, chi2 = jax.device_get(out[:4])
+        with m.lock:
+            self._local_ba_apply(prob, R, t, X_new, chi2)
+
+    def _local_ba_assemble(self, kf: int):
         cfg, m = self.cfg, self.map
         neighbors, _ = m.covisibility(kf, min_shared=1)
         window = np.concatenate([[kf], neighbors[: self.ba_window - 1]]).astype(np.int32)
@@ -395,19 +451,24 @@ class LocalMapper:
                 bf=jnp.float32(cfg.bf),
             )
 
-        R, t, X_new, chi2, cost = bundle_adjust(
-            cfg.project_fn, cfg.project_jac_fn,
-            jnp.asarray(R_all), jnp.asarray(t_all), jnp.asarray(fixed_p),
-            jnp.asarray(X), jnp.asarray(lm_mask),
-            jnp.asarray(op), jnp.asarray(ol), jnp.asarray(ouv),
-            jnp.asarray(olev), jnp.asarray(omask),
-            n_iters=self.ba_iters,
-            wide_fov=cfg.camera_model == "kb8",
-            **stereo_kw,
+        return dict(
+            args=(cfg.project_fn, cfg.project_jac_fn,
+                  jnp.asarray(R_all), jnp.asarray(t_all),
+                  jnp.asarray(fixed_p),
+                  jnp.asarray(X), jnp.asarray(lm_mask),
+                  jnp.asarray(op), jnp.asarray(ol), jnp.asarray(ouv),
+                  jnp.asarray(olev), jnp.asarray(omask)),
+            stereo_kw=stereo_kw,
+            window=window, fixed=fixed, lms=lms, kf_index=kf_index,
+            okf=okf, okp=okp,
         )
+
+    def _local_ba_apply(self, prob, R, t, X_new, chi2):
+        cfg, m = self.cfg, self.map
+        window, fixed, lms = prob["window"], prob["fixed"], prob["lms"]
+        kf_index, okf, okp = prob["kf_index"], prob["okf"], prob["okp"]
         upd = window[fixed[: window.size] == 0]
         sel = kf_index[upd].astype(np.int64)
-        R, t, X_new, chi2 = jax.device_get((R, t, X_new, chi2))
         m.kf_R[upd] = R[sel]
         m.kf_t[upd] = t[sel]
         m.lm_pos[lms] = X_new[: lms.size]

@@ -57,6 +57,12 @@ class SystemConfig:
     # Distributed BA: shard global BA by landmark over this many devices
     # (0/1 = single device).  Uses jax.devices()[:ba_devices].
     ba_devices: int = 0
+    # Background mapping/loop worker (the reference's LocalMapping +
+    # LoopClosing threads, System.cc:195-214): keyframe mapping and the
+    # loop cascade run on a worker thread so the frame path never blocks
+    # on them.  Off = fully deterministic synchronous orchestration.
+    async_mapping: bool = False
+    async_max_pending: int = 3
 
 
 class SlamSystem:
@@ -86,6 +92,12 @@ class SlamSystem:
             devs = jax.devices()
             if len(devs) >= self.cfg.ba_devices:
                 self.ba_mesh = make_ba_mesh(devs[: self.cfg.ba_devices])
+        self.async_map = None
+        if self.cfg.async_mapping:
+            from orb_slam3_study_kr_tpu.pipeline.async_mapping import (
+                AsyncMapping)
+            self.async_map = AsyncMapping(
+                max_pending=self.cfg.async_max_pending)
         self._new_active_map()
 
     # ------------------------------------------------------------------
@@ -102,6 +114,7 @@ class SlamSystem:
             on_kf_culled=self._on_kf_culled,
         )
         self.tracker = self._build_tracker(m)
+        self.tracker.async_map = self.async_map
         if self.cfg.sensor.endswith("-inertial"):
             # LocalInertialBA replaces visual local BA once the map is
             # IMU-initialized (LocalMapping.cc:154-160 dispatch).
@@ -240,6 +253,13 @@ class SlamSystem:
                                           fix_scale=fix_scale)
                 if sim3 is None:
                     continue
+                if self.async_map is not None:
+                    # Verified on the worker; the structural transplant
+                    # (map transfer + tracker rebinding) is deferred to
+                    # the tracker thread at the next frame boundary.
+                    self.async_map.post_event(
+                        "merge", (mA, kf, mB, int(cand), sim3))
+                    return True
                 res = self.merger.merge(mA, kf, mB, int(cand), sim3)
                 if res is None:
                     continue
@@ -348,7 +368,9 @@ class SlamSystem:
 
         m = self.atlas.active_map
         cfg = self.cfg.tracker
-        cands = self.db.detect_relocalization_candidates(frame.desc, frame.valid)
+        with m.lock:
+            cands = self.db.detect_relocalization_candidates(
+                frame.desc, frame.valid)
         for kf in cands:
             bound = m.kf_kp_lm[kf] != NO_LM
             idx, ok, _ = match_by_descriptor(
@@ -386,6 +408,10 @@ class SlamSystem:
     def _on_tracking_lost(self):
         """Sustained loss: small maps reset in place, established maps are
         stored and a new one spawned (Tracking::CreateMapInAtlas)."""
+        if self.async_map is not None:
+            # The worker may still hold tasks against the outgoing map;
+            # let it drain before the map is stored/discarded.
+            self.async_map.flush()
         m = self.atlas.active_map
         if m.n_kf < self.cfg.min_kf_spawn:
             self.atlas.maps.remove(m)
@@ -451,9 +477,33 @@ class SlamSystem:
                 self.sys_stats.get("n_bad_imu_resets", 0) + 1)
             self._on_tracking_lost()
 
+    def _drain_async_events(self):
+        """Apply worker-posted effects on the tracker thread at a frame
+        boundary: velocity reset after a loop correction, and deferred map
+        merges (the reference's flag-handshake role)."""
+        if self.async_map is None:
+            return
+        for kind, payload in self.async_map.drain_events():
+            if kind == "loop":
+                # Poses moved under the corrected essential graph; the
+                # stale velocity model would fight the corrected map.
+                self.tracker.velocity = None
+            elif kind == "merge":
+                mA, kf, mB, cand, sim3 = payload
+                if mA is not self.atlas.active_map or mB not in self.atlas.maps:
+                    continue
+                self.async_map.flush()
+                with mA.lock, mB.lock:
+                    res = self.merger.merge(mA, kf, mB, cand, sim3)
+                    if res is not None:
+                        self._apply_merge(
+                            mA, self.atlas.maps.index(mB), res)
+                        self.tracker.velocity = None
+
     def track_monocular(self, img, timestamp, imu=None):
         """System::TrackMonocular; with imu rows (M, 7) [dt, acc, gyro]
         covering (t_prev, t] this is the monocular-inertial path."""
+        self._drain_async_events()
         self._check_timestamp(timestamp)
         t0 = time.perf_counter()
         if self.cfg.sensor == "mono-inertial":
@@ -468,6 +518,7 @@ class SlamSystem:
 
     def track_stereo(self, img_left, img_right, timestamp, imu=None):
         """System::TrackStereo: rectified left/right pair (+ optional IMU)."""
+        self._drain_async_events()
         self._check_timestamp(timestamp)
         t0 = time.perf_counter()
         if self.cfg.sensor == "stereo-inertial":
@@ -483,6 +534,7 @@ class SlamSystem:
     def track_rgbd(self, img, depth_map, timestamp, imu=None):
         """System::TrackRGBD: image + registered metric depth map
         (+ optional IMU rows for the rgbd-inertial sensor)."""
+        self._drain_async_events()
         self._check_timestamp(timestamp)
         t0 = time.perf_counter()
         if self.cfg.sensor == "rgbd-inertial":
@@ -494,6 +546,21 @@ class SlamSystem:
         self.timings.append(time.perf_counter() - t0)
         self._check_bad_imu(frame)
         return frame
+
+    def flush(self):
+        """Wait for the background mapper/loop worker to drain and apply
+        its pending events (no-op in synchronous mode).  Call before
+        reading final state (trajectories, stats, atlas save)."""
+        if self.async_map is not None:
+            self.async_map.flush()
+            self._drain_async_events()
+            self.async_map.flush()
+
+    def shutdown(self):
+        """System::Shutdown: stop the background worker."""
+        if self.async_map is not None:
+            self.flush()
+            self.async_map.shutdown()
 
     def activate_localization_mode(self):
         """Track against the frozen map without mutating it
@@ -562,29 +629,83 @@ class SlamSystem:
                         f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
 
     # ------------------------------------------------------------------
+    ATLAS_ARRAY_FIELDS = [
+        "kf_R", "kf_t", "kf_valid", "kf_frame_id", "kf_timestamp",
+        "kf_kp_uv", "kf_kp_level", "kf_kp_angle", "kf_kp_valid",
+        "kf_desc", "kf_kp_patch", "kf_kp_ur", "kf_kp_lm", "lm_pos",
+        "lm_valid", "lm_desc", "lm_patch", "lm_normal", "lm_min_dist",
+        "lm_max_dist", "lm_first_kf", "lm_visible", "lm_found",
+        "kf_redirect", "kf_redirect_R", "kf_redirect_t",
+        "kf_v", "kf_bias",
+    ]
+
     def save_atlas(self, path):
-        """Whole-session checkpoint (System::SaveAtlas -> .osa equivalent):
-        every map's SoA arrays into one compressed npz."""
+        """Whole-session checkpoint (System::SaveAtlas -> .osa equivalent,
+        System.cc:1403-1443): every map's SoA arrays, the vocabulary with
+        its checksum binding (System.cc:1508 role), the active map's loop
+        edges, and the inertial session state (tracker bias/stage, the
+        kf->kf preintegration chain and the raw IMU log) — a reloaded
+        inertial session continues IMU-initialized without re-running the
+        init schedule."""
+        self.flush()
         payload = {"n_maps": np.int64(len(self.atlas.maps)),
                    "active": np.int64(self.atlas.active)}
-        array_fields = [
-            "kf_R", "kf_t", "kf_valid", "kf_frame_id", "kf_timestamp",
-            "kf_kp_uv", "kf_kp_level", "kf_kp_angle", "kf_kp_valid",
-            "kf_desc", "kf_kp_patch", "kf_kp_ur", "kf_kp_lm", "lm_pos", "lm_valid",
-            "lm_desc", "lm_patch", "lm_normal", "lm_min_dist", "lm_max_dist",
-            "lm_first_kf", "lm_visible", "lm_found",
-            "kf_redirect", "kf_redirect_R", "kf_redirect_t",
-        ]
         for i, m in enumerate(self.atlas.maps):
-            for f_ in array_fields:
+            for f_ in self.ATLAS_ARRAY_FIELDS:
                 payload[f"map{i}/{f_}"] = getattr(m, f_)
             payload[f"map{i}/scalars"] = np.asarray(
                 [m.n_kf, m.n_lm, m.next_lm, m.change_idx, m.map_id,
-                 m.next_kf])
+                 m.next_kf, int(m.imu_initialized), int(m.imu_ba2)])
+        # Vocabulary + checksum (the inverted file is rebuilt exactly from
+        # vocabulary + keyframe descriptors at load; what must persist and
+        # bind is the vocabulary content itself).
+        if self.voc is not None:
+            from orb_slam3_study_kr_tpu.bow import vocabulary as _v
+            for k, v in _v.vocabulary_arrays(self.voc).items():
+                payload[f"voc/{k}"] = v
+            payload["voc/md5"] = np.frombuffer(
+                _v.vocabulary_checksum(self.voc).encode(), np.uint8)
+        if self.loop_closer is not None and self.loop_closer.loop_edges:
+            payload["loop_edges"] = np.asarray(
+                self.loop_closer.loop_edges, np.int64)
+        tr = self.tracker
+        if self.cfg.sensor.endswith("-inertial"):
+            payload["imu/bias"] = np.asarray(tr.bias, np.float32)
+            payload["imu/stage"] = np.int64(tr.imu_stage)
+            if tr.kf_imu:
+                kf_ids = np.asarray(sorted(tr.kf_imu), np.int64)
+                prev = np.asarray([tr.kf_imu[k][0] for k in kf_ids],
+                                  np.int64)
+                chunks = [np.asarray(tr.kf_imu[k][1], np.float32).reshape(
+                    -1, 7) for k in kf_ids]
+                offs = np.cumsum([0] + [c.shape[0] for c in chunks])
+                payload["imu/chain_kf"] = kf_ids
+                payload["imu/chain_prev"] = prev
+                payload["imu/chain_rows"] = (
+                    np.concatenate(chunks) if chunks
+                    else np.zeros((0, 7), np.float32))
+                payload["imu/chain_offs"] = offs.astype(np.int64)
+            if tr._imu_log:
+                ts = np.asarray([t for t, _ in tr._imu_log], np.float64)
+                chunks = [np.asarray(r, np.float32).reshape(-1, 7)
+                          for _, r in tr._imu_log]
+                offs = np.cumsum([0] + [c.shape[0] for c in chunks])
+                payload["imu/log_ts"] = ts
+                payload["imu/log_rows"] = (
+                    np.concatenate(chunks) if chunks
+                    else np.zeros((0, 7), np.float32))
+                payload["imu/log_offs"] = offs.astype(np.int64)
         np.savez_compressed(path, **payload)
 
     def load_atlas(self, path):
-        """Rebuild the Atlas from a checkpoint; the active map resumes."""
+        """Rebuild the Atlas from a checkpoint; the active map resumes
+        (System::LoadAtlas, System.cc:1445-1506): the persisted vocabulary
+        is restored (never retrained) and — when the session also names a
+        vocabulary file — bound by checksum exactly like the reference's
+        MD5 check; the recognition inverted file is rebuilt from the
+        restored vocabulary + keyframe descriptors; an inertial session's
+        bias/stage/preintegration chain and raw IMU log come back so it
+        continues IMU-initialized."""
         from orb_slam3_study_kr_tpu.slam_map.map_state import MapState
 
         data = np.load(path, allow_pickle=False)
@@ -597,14 +718,7 @@ class SlamSystem:
                 max_kp=data[f"map{i}/kf_desc"].shape[1],
                 max_lm=data[f"map{i}/lm_pos"].shape[0],
             )
-            for f_ in [
-                "kf_R", "kf_t", "kf_valid", "kf_frame_id", "kf_timestamp",
-                "kf_kp_uv", "kf_kp_level", "kf_kp_angle", "kf_kp_valid",
-                "kf_desc", "kf_kp_patch", "kf_kp_ur", "kf_kp_lm", "lm_pos", "lm_valid",
-                "lm_desc", "lm_patch", "lm_normal", "lm_min_dist",
-                "lm_max_dist", "lm_first_kf", "lm_visible", "lm_found",
-                "kf_redirect", "kf_redirect_R", "kf_redirect_t",
-            ]:
+            for f_ in self.ATLAS_ARRAY_FIELDS:
                 key = f"map{i}/{f_}"
                 if key in data:
                     setattr(m, f_, data[key].copy())
@@ -612,20 +726,38 @@ class SlamSystem:
             m.n_kf, m.n_lm, m.next_lm, m.change_idx, m.map_id = (
                 int(sc[0]), int(sc[1]), int(sc[2]), int(sc[3]), int(sc[4]))
             m.next_kf = int(sc[5]) if sc.size > 5 else int(m.n_kf)
+            if sc.size > 7:
+                m.imu_initialized = bool(sc[6])
+                m.imu_ba2 = bool(sc[7])
             self.atlas.maps.append(m)
         self.atlas.active = int(data["active"])
         m = self.atlas.active_map
-        self.local_mapper = LocalMapper(cfg=self.cfg.tracker, map=m)
+        self.local_mapper = LocalMapper(
+            cfg=self.cfg.tracker, map=m,
+            inertial_mode=self.cfg.sensor.endswith("-inertial"),
+            on_kf_culled=self._on_kf_culled)
         self.tracker = self._build_tracker(m)
+        self.tracker.async_map = self.async_map
+        if self.cfg.sensor.endswith("-inertial"):
+            self.local_mapper.inertial_ba = self.tracker.local_inertial_ba
+            self._restore_imu_state(data)
         # Restore tracking against the loaded map via relocalization.
         self.tracker.state = TrackState.NOT_INITIALIZED if m.n_kf == 0 else TrackState.RECENTLY_LOST
         if m.n_kf:
             self.tracker.ref_kf = int(np.nonzero(m.kf_valid)[0][-1])
-            # A loaded map needs a recognition index for relocalization.
+            # Recognition index: restore the PERSISTED vocabulary (checked
+            # against any configured vocabulary file), rebuild the
+            # inverted file from it.
             self.voc = None
             self.db = None
             self.loop_closer = None
-            self._ensure_vocabulary()
+            if "voc/kind" in data:
+                self._restore_vocabulary(data)
+            else:
+                self._ensure_vocabulary()
+            if self.loop_closer is not None and "loop_edges" in data:
+                self.loop_closer.loop_edges = [
+                    (int(a), int(b)) for a, b in data["loop_edges"]]
             # Seed a last_frame so reference-keyframe tracking has a pose.
             from orb_slam3_study_kr_tpu.pipeline.frame import Frame
             ref = self.tracker.ref_kf
@@ -641,6 +773,65 @@ class SlamSystem:
             lf.pose_ok = True
             self.tracker.last_frame = lf
             self.tracker.state = TrackState.RECENTLY_LOST
+
+    def _restore_vocabulary(self, data):
+        """Rebuild voc/db/loop-closer from the checkpoint's persisted
+        vocabulary, enforcing the checksum binding (System.cc:1508)."""
+        from orb_slam3_study_kr_tpu.bow import KeyframeDatabase
+        from orb_slam3_study_kr_tpu.bow.vocabulary import (
+            load_dbow2_text, load_vocabulary, vocabulary_checksum,
+            vocabulary_from_arrays)
+        from orb_slam3_study_kr_tpu.pipeline.loop_closing import LoopCloser
+
+        z = {k.split("/", 1)[1]: data[k] for k in data.files
+             if k.startswith("voc/")}
+        stored_md5 = bytes(z.pop("md5")).decode() if "md5" in z else None
+        self.voc = vocabulary_from_arrays(z)
+        if stored_md5 and vocabulary_checksum(self.voc) != stored_md5:
+            raise ValueError("atlas checkpoint is corrupt: vocabulary "
+                             "content does not match its stored checksum")
+        if self.cfg.vocabulary_path is not None and stored_md5:
+            p = str(self.cfg.vocabulary_path)
+            cur = (load_dbow2_text(p) if p.endswith(".txt")
+                   else load_vocabulary(p))
+            if vocabulary_checksum(cur) != stored_md5:
+                # The reference refuses to load an atlas built against a
+                # different vocabulary (System.cc:169-177).
+                raise ValueError(
+                    "vocabulary checksum mismatch: the checkpoint was "
+                    "built with a different vocabulary than "
+                    f"{p}")
+        m = self.atlas.active_map
+        self.db = KeyframeDatabase(self.voc)
+        self.map_dbs = {m.map_id: self.db}
+        self.loop_closer = LoopCloser(
+            cfg=self.cfg.tracker, map=m, db=self.db, ba_mesh=self.ba_mesh,
+            inertial=self.cfg.sensor.endswith("-inertial"))
+        for k in np.nonzero(m.kf_valid)[0]:
+            self.db.add(int(k), m.kf_desc[k], m.kf_kp_valid[k])
+
+    def _restore_imu_state(self, data):
+        """Tracker-side inertial session state from the checkpoint."""
+        tr = self.tracker
+        if "imu/bias" in data:
+            tr.bias = data["imu/bias"].copy()
+        if "imu/stage" in data:
+            tr.imu_stage = int(data["imu/stage"])
+        if "imu/chain_kf" in data:
+            kf_ids = data["imu/chain_kf"]
+            prev = data["imu/chain_prev"]
+            rows = data["imu/chain_rows"]
+            offs = data["imu/chain_offs"]
+            tr.kf_imu = {
+                int(k): (int(prev[i]), rows[offs[i]:offs[i + 1]].copy())
+                for i, k in enumerate(kf_ids)}
+        if "imu/log_ts" in data:
+            ts = data["imu/log_ts"]
+            rows = data["imu/log_rows"]
+            offs = data["imu/log_offs"]
+            tr._imu_log = [
+                (float(t), rows[offs[i]:offs[i + 1]].copy())
+                for i, t in enumerate(ts)]
 
     def stats(self):
         m = self.atlas.active_map

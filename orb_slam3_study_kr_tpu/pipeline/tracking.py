@@ -157,6 +157,20 @@ class TrackerConfig:
         return functools.partial(pinhole.project_jac, self.ideal_params)
 
     @functools.cached_property
+    def undistort_px_fn(self):
+        """Raw pixel coords -> the frame's native matching coords (raw
+        itself for fisheye-native kb8, ideal undistorted pixels for
+        pinhole).  Used in-program by the fused rounds to propagate KLT
+        observation moves."""
+        if self.camera_model == "kb8":
+            return _identity_uv
+        cam, ideal = self.cam_params, self.ideal_params
+
+        def f(uv):
+            return pinhole.project(ideal, pinhole.unproject(cam, uv))
+        return f
+
+    @functools.cached_property
     def unproject_fn(self):
         """Frame pixel coords -> bearing rays (matches the coordinate
         convention of frame.uv: raw fisheye pixels for kb8, ideal
@@ -180,6 +194,11 @@ class TrackerConfig:
         if self.camera_model == "kb8":
             return float(self.fx)
         return float(np.asarray(self.ideal_params)[0])
+
+
+def _identity_uv(uv):
+    """Module-level identity (stable hash for jit static args)."""
+    return uv
 
 
 def _np_se3_inverse(R, t):
@@ -242,6 +261,7 @@ class MonoTracker:
         self.cfg = cfg
         self.map = slam_map
         self.local_mapper = local_mapper
+        self.async_map = None   # AsyncMapping backend (set by SlamSystem)
         self.loop_closer = loop_closer          # callable(kf_id) or None
         self.relocalizer = relocalizer          # callable(frame) -> bool
         self.on_tracking_lost = on_tracking_lost  # callable() -> None
@@ -586,23 +606,26 @@ class MonoTracker:
         """Project the given landmarks and match to the frame's keypoints."""
         cfg, m = self.cfg, self.map
         L = cfg.local_map_size if not wide_gates else 1024
-        lm_ids = lm_ids[:L]
-        pos = _pad_rows(m.lm_pos[lm_ids], L)
-        desc = _pad_rows(m.lm_desc[lm_ids], L)
-        mask = _pad_rows(np.ones(lm_ids.shape[0], np.float32), L)
-        if wide_gates:
-            # Frame-to-frame search skips the normal/band gates: synthesize a
-            # normal pointing at the camera and an unbounded band.
-            center = -R_pred.T @ t_pred
-            vec = pos - center
-            nrm = vec / np.maximum(np.linalg.norm(vec, axis=1, keepdims=True), 1e-9)
-            normal = nrm.astype(np.float32)
-            min_d = np.zeros(L, np.float32)
-            max_d = np.full(L, 1e6, np.float32)
-        else:
-            normal = _pad_rows(m.lm_normal[lm_ids], L)
-            min_d = _pad_rows(m.lm_min_dist[lm_ids], L)
-            max_d = _pad_rows(m.lm_max_dist[lm_ids], L)
+        with m.lock:
+            lm_ids = lm_ids[:L]
+            pos = _pad_rows(m.lm_pos[lm_ids], L)
+            desc = _pad_rows(m.lm_desc[lm_ids], L)
+            mask = _pad_rows(np.ones(lm_ids.shape[0], np.float32), L)
+            if wide_gates:
+                # Frame-to-frame search skips the normal/band gates:
+                # synthesize a normal pointing at the camera and an
+                # unbounded band.
+                center = -R_pred.T @ t_pred
+                vec = pos - center
+                nrm = vec / np.maximum(
+                    np.linalg.norm(vec, axis=1, keepdims=True), 1e-9)
+                normal = nrm.astype(np.float32)
+                min_d = np.zeros(L, np.float32)
+                max_d = np.full(L, 1e6, np.float32)
+            else:
+                normal = _pad_rows(m.lm_normal[lm_ids], L)
+                min_d = _pad_rows(m.lm_min_dist[lm_ids], L)
+                max_d = _pad_rows(m.lm_max_dist[lm_ids], L)
         lm_slot, ok, visible = track_match.match_local_map_auto(
             cfg.project_fn, jnp.asarray(R_pred), jnp.asarray(t_pred),
             jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(min_d),
@@ -652,7 +675,8 @@ class MonoTracker:
         if not mask.any():
             return matched_lm
         from orb_slam3_study_kr_tpu.ops import klt as _klt
-        tmpl = m.lm_patch[np.clip(matched_lm, 0, m.max_lm - 1)]
+        with m.lock:
+            tmpl = m.lm_patch[np.clip(matched_lm, 0, m.max_lm - 1)]
         uv_ref, zncc, shift, win, distinct = _klt.klt_refine(
             frame.pyr, self._level_wh, jnp.asarray(frame.uv_raw),
             frame.dev("level"), frame.dev("angle"),
@@ -699,10 +723,13 @@ class MonoTracker:
 
     def _optimize_frame_pose(self, frame, R0, t0):
         cfg, m = self.cfg, self.map
-        # Drop bindings to landmarks removed since they were made.
-        stale = (frame.kp_lm != NO_LM) & ~m.lm_valid[np.clip(frame.kp_lm, 0, m.max_lm - 1)]
-        frame.kp_lm = np.where(stale, NO_LM, frame.kp_lm).astype(np.int32)
-        X = m.lm_pos[np.clip(frame.kp_lm, 0, m.max_lm - 1)]
+        with m.lock:
+            # Drop bindings to landmarks removed since they were made.
+            stale = (frame.kp_lm != NO_LM) & ~m.lm_valid[
+                np.clip(frame.kp_lm, 0, m.max_lm - 1)]
+            frame.kp_lm = np.where(stale, NO_LM,
+                                   frame.kp_lm).astype(np.int32)
+            X = m.lm_pos[np.clip(frame.kp_lm, 0, m.max_lm - 1)]
         mask = (frame.kp_lm != NO_LM) & frame.valid
         stereo_kw = {}
         if cfg.bf > 0 and frame.u_r is not None:
@@ -737,8 +764,9 @@ class MonoTracker:
         lf = self.last_frame
         if not cfg.flow_anchor or lf is None:
             return
-        bound = (lf.kp_lm != NO_LM) & lf.valid
-        bound &= m.lm_valid[np.clip(lf.kp_lm, 0, m.max_lm - 1)]
+        with m.lock:
+            bound = (lf.kp_lm != NO_LM) & lf.valid
+            bound &= m.lm_valid[np.clip(lf.kp_lm, 0, m.max_lm - 1)]
         if bound.sum() < 3:
             return
         idx, ok, _ = matching.search_for_initialization(
@@ -769,27 +797,35 @@ class MonoTracker:
         kp, lms = self.last_frame.bound_obs()
         if lms.size < 3:
             return False
-        self._flow_anchor_matches(frame)
-        lm_ids = np.unique(lms)
-        lm_ids = lm_ids[m.lm_valid[lm_ids]]
-        # Prefer mature landmarks (>= 3 keyframe observations): freshly
-        # triangulated 2-obs points have the largest position error and a
-        # coherent bias in them can drag the pose solve into a wrong basin
-        # (observed at KF+2 on self-similar texture).  Fall back to all
-        # when the mature subset is too small (e.g. right after init).
-        if cfg.mm_mature_only:
-            obs = m.landmark_obs_count()
-            mature = lm_ids[obs[lm_ids] >= 3]
-            if mature.size >= 2 * cfg.min_track_matches:
-                lm_ids = mature
-        # Exclude landmarks the flow channel already bound.
-        _, bound_now = frame.bound_obs()
-        if bound_now.size:
-            lm_ids = lm_ids[~np.isin(lm_ids, bound_now)]
-        if self._use_fused_rounds():
-            # Single-dispatch round (match + verify + bind + solve); the
-            # wide-gate geometry is synthesized into the landmark block.
-            n = self._fused_round_wide(frame, lm_ids, R_pred, t_pred, th=3.0)
+        use_fused = self._use_fused_rounds()
+        if not use_fused:
+            # Fused mode runs the flow anchor as an in-program prologue of
+            # the motion-model dispatch instead of two extra round trips.
+            self._flow_anchor_matches(frame)
+        with m.lock:
+            lm_ids = np.unique(lms)
+            lm_ids = lm_ids[m.lm_valid[lm_ids]]
+            # Prefer mature landmarks (>= 3 keyframe observations): freshly
+            # triangulated 2-obs points have the largest position error and
+            # a coherent bias in them can drag the pose solve into a wrong
+            # basin (observed at KF+2 on self-similar texture).  Fall back
+            # to all when the mature subset is too small (e.g. right after
+            # init).
+            if cfg.mm_mature_only:
+                obs = m.landmark_obs_count()
+                mature = lm_ids[obs[lm_ids] >= 3]
+                if mature.size >= 2 * cfg.min_track_matches:
+                    lm_ids = mature
+            # Exclude landmarks the flow channel already bound.
+            _, bound_now = frame.bound_obs()
+            if bound_now.size:
+                lm_ids = lm_ids[~np.isin(lm_ids, bound_now)]
+        if use_fused:
+            # Single-dispatch round (flow anchor + match + verify + bind +
+            # solve); the wide-gate geometry is synthesized into the
+            # landmark block.
+            n = self._fused_round_wide(frame, lm_ids, R_pred, t_pred,
+                                       th=3.0, with_flow=True)
             if n < cfg.min_track_matches:
                 n = self._fused_round_wide(frame, lm_ids, R_pred, t_pred,
                                            th=6.0)
@@ -820,9 +856,10 @@ class MonoTracker:
         # Projection search of the reference keyframe's landmarks with wide
         # gates from the last known pose; fall back to global descriptor
         # matching (the BoW-style path) if that fails.
-        lms = m.kf_kp_lm[kf]
-        lm_ids = np.unique(lms[lms != NO_LM])
-        lm_ids = lm_ids[self.map.lm_valid[lm_ids]]
+        with m.lock:
+            lms = m.kf_kp_lm[kf]
+            lm_ids = np.unique(lms[lms != NO_LM])
+            lm_ids = lm_ids[self.map.lm_valid[lm_ids]]
         matched_lm = np.full(frame.uv.shape[0], NO_LM, np.int32)
         if lm_ids.size >= 3:
             R0, t0 = (
@@ -859,36 +896,39 @@ class MonoTracker:
         _, lms = frame.bound_obs()
         if lms.size == 0:
             return 0
-        seen = np.zeros(m.max_lm, bool)
-        seen[lms] = True
-        obs_count = (seen[m.kf_kp_lm] & (m.kf_kp_lm != NO_LM)).sum(axis=1)
-        obs_count[~m.kf_valid] = 0
-        k1 = np.nonzero(obs_count > 0)[0]
-        if k1.size == 0:
-            return 0
-        self.ref_kf = int(k1[np.argmax(obs_count[k1])])
-        frame.ref_kf = self.ref_kf
-        local_kfs = set(k1.tolist())
-        for kf in k1[np.argsort(-obs_count[k1])][:10]:
-            nb, _ = m.covisibility(int(kf), min_shared=15)
-            local_kfs.update(nb[:10].tolist())
-        local_kfs = np.fromiter(local_kfs, np.int32)
-        # Local landmarks not already bound in this frame, ordered by the
-        # covisibility weight of their keyframes so that truncation to the
-        # matcher's fixed capacity drops the least-relevant ones (truncating
-        # by landmark id would age the current view out of the local map).
-        order = local_kfs[np.argsort(-obs_count[local_kfs], kind="stable")]
-        seen_lm = np.zeros(m.max_lm, bool)
-        chunks = []
-        for kf_i in order:
-            c = m.kf_kp_lm[kf_i]
-            c = c[c != NO_LM]
-            c = c[~seen_lm[c]]
-            seen_lm[c] = True
-            chunks.append(c)
-        cand = np.concatenate(chunks) if chunks else np.empty(0, np.int32)
-        cand = cand[m.lm_valid[cand]]
-        cand = cand[~np.isin(cand, lms)]
+        with m.lock:
+            seen = np.zeros(m.max_lm, bool)
+            seen[lms] = True
+            obs_count = (seen[m.kf_kp_lm] & (m.kf_kp_lm != NO_LM)).sum(axis=1)
+            obs_count[~m.kf_valid] = 0
+            k1 = np.nonzero(obs_count > 0)[0]
+            if k1.size == 0:
+                return 0
+            self.ref_kf = int(k1[np.argmax(obs_count[k1])])
+            frame.ref_kf = self.ref_kf
+            local_kfs = set(k1.tolist())
+            for kf in k1[np.argsort(-obs_count[k1])][:10]:
+                nb, _ = m.covisibility(int(kf), min_shared=15)
+                local_kfs.update(nb[:10].tolist())
+            local_kfs = np.fromiter(local_kfs, np.int32)
+            # Local landmarks not already bound in this frame, ordered by
+            # the covisibility weight of their keyframes so that truncation
+            # to the matcher's fixed capacity drops the least-relevant ones
+            # (truncating by landmark id would age the current view out of
+            # the local map).
+            order = local_kfs[np.argsort(-obs_count[local_kfs],
+                                         kind="stable")]
+            seen_lm = np.zeros(m.max_lm, bool)
+            chunks = []
+            for kf_i in order:
+                c = m.kf_kp_lm[kf_i]
+                c = c[c != NO_LM]
+                c = c[~seen_lm[c]]
+                seen_lm[c] = True
+                chunks.append(c)
+            cand = np.concatenate(chunks) if chunks else np.empty(0, np.int32)
+            cand = cand[m.lm_valid[cand]]
+            cand = cand[~np.isin(cand, lms)]
         if self._use_fused_rounds():
             return self._track_local_map_fused(frame, cand)
         matched_lm, visible, used_ids = self._match_against_landmarks(
@@ -938,6 +978,12 @@ class MonoTracker:
                         R_pred=None, t_pred=None):
         """Padded device-resident landmark block for the fused round."""
         m = self.map
+        with m.lock:
+            return self._build_lm_block_locked(cand, L, wide_gates,
+                                               R_pred, t_pred)
+
+    def _build_lm_block_locked(self, cand, L, wide_gates, R_pred, t_pred):
+        m = self.map
         cand = cand[:L]
         pos = m.lm_pos[cand]
         if wide_gates:
@@ -968,12 +1014,13 @@ class MonoTracker:
         )
         return block, blk_mask, cand
 
-    def _exec_fused_round(self, frame, block, blk_mask, R0, t0, th,
-                          level_slack):
-        """One fused round: dispatch, fetch once, apply pose/bindings/
-        KLT move on the host.  Returns (n_inliers, visible)."""
+    def _exec_fused_rounds(self, frame, block, blk_mask, R0, t0, th,
+                           level_slack, n_rounds=1, flow=None):
+        """Dispatch n_rounds complete rounds in ONE program (optionally
+        with the flow-anchor prologue), fetch once, apply pose/bindings/
+        KLT moves on the host.  Returns (n_inliers, visible_round1)."""
         from orb_slam3_study_kr_tpu.pipeline.fused_round import (
-            fused_track_round)
+            fused_track_rounds)
         cfg, m = self.cfg, self.map
         L = blk_mask.shape[0]
         use_klt = cfg.klt_refine and frame.pyr is not None
@@ -983,89 +1030,102 @@ class MonoTracker:
         if cfg.bf > 0 and frame.u_r is not None:
             stereo_kw = dict(ur_obs=jnp.asarray(frame.u_r),
                              bf=jnp.float32(cfg.bf))
-        # Drop stale bindings, gather bound landmark positions.
-        stale = (frame.kp_lm != NO_LM) & ~m.lm_valid[
-            np.clip(frame.kp_lm, 0, m.max_lm - 1)]
-        frame.kp_lm = np.where(stale, NO_LM, frame.kp_lm).astype(np.int32)
-        kp_lm_pos = m.lm_pos[np.clip(frame.kp_lm, 0, m.max_lm - 1)]
-        out = fused_track_round(
-            cfg.project_fn, cfg.project_jac_fn,
-            jnp.asarray(R0), jnp.asarray(t0),
-            block["lm_pos"], block["lm_normal"], block["lm_min_dist"],
-            block["lm_max_dist"], block["lm_desc"],
-            jnp.asarray(blk_mask), block["lm_gid"], block["lm_patch"],
-            jnp.asarray(frame.kp_lm), jnp.asarray(kp_lm_pos),
-            frame.dev("uv"), frame.dev("level"), frame.dev("desc"),
-            frame.dev("valid"),
-            jnp.asarray(frame.uv_raw), frame.dev("angle"),
-            frame.pyr if use_klt else jnp.zeros((1, 2, 2), jnp.float32),
-            self._level_wh if use_klt else jnp.ones((1, 2), jnp.float32),
-            cfg.width, cfg.height, th=th,
-            scale_factor=cfg.orb_scale_factor,
-            n_levels=cfg.orb_n_levels, level_slack=level_slack,
-            max_theta_deg=cfg.max_theta_deg,
-            klt_zncc_min=cfg.klt_zncc_min,
-            klt_max_shift=cfg.klt_max_shift,
-            wide_fov=cfg.camera_model == "kb8",
-            use_klt=use_klt, use_pallas=use_pallas,
-            **stereo_kw,
-        )
+        # Drop stale bindings, gather bound landmark positions (map reads
+        # under the map-update lock; the dispatch is non-blocking and the
+        # fetch below waits with the lock released).
+        with m.lock:
+            stale = (frame.kp_lm != NO_LM) & ~m.lm_valid[
+                np.clip(frame.kp_lm, 0, m.max_lm - 1)]
+            frame.kp_lm = np.where(stale, NO_LM, frame.kp_lm).astype(np.int32)
+            kp_lm_pos = m.lm_pos[np.clip(frame.kp_lm, 0, m.max_lm - 1)]
+            out = fused_track_rounds(
+                cfg.project_fn, cfg.project_jac_fn, cfg.undistort_px_fn,
+                jnp.asarray(R0), jnp.asarray(t0),
+                block["lm_pos"], block["lm_normal"], block["lm_min_dist"],
+                block["lm_max_dist"], block["lm_desc"],
+                jnp.asarray(blk_mask), block["lm_gid"], block["lm_patch"],
+                jnp.asarray(frame.kp_lm), jnp.asarray(kp_lm_pos),
+                frame.dev("uv"), frame.dev("level"), frame.dev("desc"),
+                frame.dev("valid"),
+                jnp.asarray(frame.uv_raw), frame.dev("angle"),
+                frame.pyr if use_klt else jnp.zeros((1, 2, 2), jnp.float32),
+                self._level_wh if use_klt else jnp.ones((1, 2), jnp.float32),
+                cfg.width, cfg.height, th=th,
+                scale_factor=cfg.orb_scale_factor,
+                n_levels=cfg.orb_n_levels, level_slack=level_slack,
+                max_theta_deg=cfg.max_theta_deg,
+                klt_zncc_min=cfg.klt_zncc_min,
+                klt_max_shift=cfg.klt_max_shift,
+                klt_distinct_min=cfg.klt_distinct_min,
+                wide_fov=cfg.camera_model == "kb8",
+                use_klt=use_klt, use_pallas=use_pallas,
+                n_rounds=n_rounds, move_obs=cfg.klt_move_obs,
+                flow=flow, flow_radius=cfg.flow_anchor_radius,
+                **stereo_kw,
+            )
+        uv_dev = out[5][0]
         (R, t, kp_lm, inl, visible,
-         (uv_ref, zncc, shift, distinct, newly)) = jax.device_get(out)
+         (uv_new, uv_raw_new, ur_new, moved), n_flow) = jax.device_get(out)
+        if flow is not None:
+            self.stats["flow_anchor_matches"] = (
+                self.stats.get("flow_anchor_matches", 0) + int(n_flow))
         frame.R_cw = np.array(R)
         frame.t_cw = np.array(t)
         frame.kp_lm = np.array(kp_lm)
-        # KLT observation write-back (verified + distinctive only);
-        # benefits the next round / the keyframe record.
-        if use_klt and cfg.klt_move_obs:
-            move = (newly & inl & (zncc >= cfg.klt_zncc_min)
-                    & (shift < cfg.klt_max_shift)
-                    & (distinct >= cfg.klt_distinct_min))
-            if move.any():
-                du = uv_ref[:, 0] - frame.uv_raw[:, 0]
-                frame.uv_raw[move] = uv_ref[move]
-                if cfg.camera_model == "kb8":
-                    und = uv_ref
-                else:
-                    und = np.asarray(_undistort(
-                        cfg.cam_params, cfg.ideal_params,
-                        jnp.asarray(uv_ref)))
-                frame.uv[move] = und[move]
-                frame.invalidate_dev("uv")
-                if frame.u_r is not None:
-                    has_r = move & (frame.u_r >= 0)
-                    frame.u_r[has_r] += du[has_r]
+        if moved.any():
+            frame.uv_raw[moved] = uv_raw_new[moved]
+            frame.uv[moved] = uv_new[moved]
+            # The program's output IS the frame's new uv — keep the device
+            # handle resident instead of re-uploading next dispatch.
+            frame.set_dev("uv", uv_dev)
+            if frame.u_r is not None and ur_new is not None:
+                frame.u_r[:] = ur_new
         return int(inl.sum()), visible
 
     def _track_local_map_fused(self, frame: Frame, cand) -> int:
-        """Both local-map rounds through the single-dispatch fused program
-        (pipeline/fused_round.py): one upload + one fetch per round instead
-        of a host sync per stage."""
+        """Both local-map rounds through ONE dispatch of the fused program
+        (pipeline/fused_round.py): a single upload + fetch for the whole
+        match/verify/bind/solve x2 sequence."""
         cfg, m = self.cfg, self.map
         block, blk_mask, cand = self._build_lm_block(
             cand, cfg.local_map_size)
-        n = 0
-        for rnd in range(2):
-            n, visible = self._exec_fused_round(
-                frame, block, blk_mask, frame.R_cw, frame.t_cw,
-                th=1.0, level_slack=1)
-            if rnd == 0:
-                vis = visible[: cand.size]
-                m.lm_visible[cand[vis]] += 1
-                # Landmarks bound this round leave the candidate block.
-                _, bound_now = frame.bound_obs()
-                blk_mask[: cand.size] *= ~np.isin(cand, bound_now)
-        _, lms_after = frame.bound_obs()
-        m.lm_found[lms_after] += 1
+        n, visible = self._exec_fused_rounds(
+            frame, block, blk_mask, frame.R_cw, frame.t_cw,
+            th=1.0, level_slack=1, n_rounds=2)
+        with m.lock:
+            vis = visible[: cand.size]
+            m.lm_visible[cand[vis]] += 1
+            _, lms_after = frame.bound_obs()
+            m.lm_found[lms_after] += 1
         return n
 
     def _fused_round_wide(self, frame: Frame, lm_ids, R_pred, t_pred,
-                          th) -> int:
-        """Motion-model step as one fused round with wide gates."""
-        block, blk_mask, _ = self._build_lm_block(
+                          th, with_flow=False) -> int:
+        """Motion-model step as one fused round with wide gates; with
+        ``with_flow`` the flow-anchor prologue runs inside the SAME
+        dispatch (no separate match + KLT round trips)."""
+        cfg, m = self.cfg, self.map
+        block, blk_mask, cand = self._build_lm_block(
             lm_ids, 1024, wide_gates=True, R_pred=R_pred, t_pred=t_pred)
-        n, _ = self._exec_fused_round(frame, block, blk_mask,
-                                      R_pred, t_pred, th=th, level_slack=7)
+        flow = None
+        lf = self.last_frame
+        if with_flow and cfg.flow_anchor and lf is not None:
+            with m.lock:
+                bound = (lf.kp_lm != NO_LM) & lf.valid
+                bound &= m.lm_valid[np.clip(lf.kp_lm, 0, m.max_lm - 1)]
+                if bound.sum() >= 3:
+                    gid = np.where(bound, lf.kp_lm, NO_LM).astype(np.int32)
+                    cl = np.clip(gid, 0, m.max_lm - 1)
+                    row_of = np.full(m.max_lm, -1, np.int32)
+                    row_of[cand] = np.arange(cand.size, dtype=np.int32)
+                    flow = (lf.dev("uv"), lf.dev("desc"), lf.dev("angle"),
+                            jnp.asarray(bound), jnp.asarray(gid),
+                            jnp.asarray(m.lm_pos[cl]),
+                            jnp.asarray(row_of[cl]),
+                            jnp.asarray(m.lm_patch[cl]))
+        n, _ = self._exec_fused_rounds(frame, block, blk_mask,
+                                       R_pred, t_pred, th=th, level_slack=7,
+                                       flow=flow)
         return n
 
     # ------------------------------------------------------------------
@@ -1074,28 +1134,49 @@ class MonoTracker:
         frames_since = frame.frame_id - self.last_kf_frame_id
         # Reference-KF match count at min 3 observations (NeedNewKeyFrame's
         # nRefMatches).
-        obs = m.landmark_obs_count()
-        ref_lms = m.kf_kp_lm[self.ref_kf]
-        ref_lms = ref_lms[ref_lms != NO_LM]
-        min_obs = 3 if m.n_kf > 2 else 2
-        n_ref = int((obs[ref_lms] >= min_obs).sum())
+        with m.lock:
+            obs = m.landmark_obs_count()
+            ref_lms = m.kf_kp_lm[self.ref_kf]
+            ref_lms = ref_lms[ref_lms != NO_LM]
+            min_obs = 3 if m.n_kf > 2 else 2
+            n_ref = int((obs[ref_lms] >= min_obs).sum())
         c1a = frames_since >= cfg.fps  # mMaxFrames = fps
         c2 = (n_inliers < cfg.kf_ref_ratio * max(n_ref, 1)) and n_inliers > 15
+        # With the background mapper busy, defer non-urgent keyframes (the
+        # reference's bLocalMappingIdle gate, Tracking.cc:3097): only the
+        # max-interval condition forces insertion.
+        if (self.async_map is not None and self.async_map.busy
+                and not c1a):
+            return False
         return c1a or (frames_since >= cfg.kf_min_gap and c2)
 
     def _create_keyframe(self, frame: Frame):
         m = self.map
-        kf = m.add_keyframe(
-            frame.R_cw, frame.t_cw, frame.uv, frame.level, frame.angle,
-            frame.valid, frame.desc, frame.frame_id, frame.timestamp,
-            kp_lm=frame.kp_lm, patch=frame.patch, ur=frame.u_r,
-        )
-        self.ref_kf = kf
-        frame.ref_kf = kf
-        self.last_kf_frame_id = frame.frame_id
-        self.stats["n_kf"] += 1
-        kp, lms = frame.bound_obs()
-        m.update_landmark_stats(lms)
+        with m.lock:
+            kf = m.add_keyframe(
+                frame.R_cw, frame.t_cw, frame.uv, frame.level, frame.angle,
+                frame.valid, frame.desc, frame.frame_id, frame.timestamp,
+                kp_lm=frame.kp_lm, patch=frame.patch, ur=frame.u_r,
+            )
+            self.ref_kf = kf
+            frame.ref_kf = kf
+            self.last_kf_frame_id = frame.frame_id
+            self.stats["n_kf"] += 1
+            kp, lms = frame.bound_obs()
+            m.update_landmark_stats(lms)
+        if self.async_map is not None:
+            # Reference thread handoff (LocalMapping::InsertKeyFrame,
+            # LocalMapping.cc:292-297): mapping + the loop cascade run on
+            # the worker; tracking continues immediately.  Pose refinements
+            # land in the map arrays and are picked up at the next map
+            # read; loop/merge effects on tracker state arrive as events
+            # (SlamSystem._drain_async_events).
+            if self.local_mapper is not None:
+                self.local_mapper.note_new_keyframe(kf)
+                self.async_map.submit(functools.partial(
+                    self._background_kf_task, self.local_mapper,
+                    self.loop_closer, m, kf))
+            return
         if self.local_mapper is not None:
             with self.timers.stage("mapping/keyframe"):
                 self.local_mapper.note_new_keyframe(kf)
@@ -1114,6 +1195,17 @@ class MonoTracker:
                 frame.t_cw = m.kf_t[kf].copy()
                 self.velocity = None
 
+    def _background_kf_task(self, mapper, loop_cb, m, kf):
+        """One keyframe's mapping + loop work, run on the worker thread."""
+        with self.timers.stage("mapping/keyframe_bg"):
+            mapper.run_once()
+        if loop_cb is not None and m is self.map:
+            with self.timers.stage("loop/detect_correct_bg"):
+                with m.lock:
+                    hit = loop_cb(kf)
+            if hit:
+                self.async_map.post_event("loop", kf)
+
     # ------------------------------------------------------------------
     def _record_trajectory(self, frame: Frame):
         if frame.R_cw is None:
@@ -1121,7 +1213,8 @@ class MonoTracker:
         m = self.map
         ref = frame.ref_kf if frame.ref_kf >= 0 else self.ref_kf
         if ref >= 0:
-            Rr, tr = m.kf_R[ref], m.kf_t[ref]
+            with m.lock:
+                Rr, tr = m.kf_R[ref].copy(), m.kf_t[ref].copy()
             Ri, ti = _np_se3_inverse(np.asarray(Rr), np.asarray(tr))
             Rrel, trel = _np_se3_compose(
                 np.asarray(frame.R_cw), np.asarray(frame.t_cw), Ri, ti)
@@ -1145,12 +1238,14 @@ class MonoTracker:
             # Culled reference keyframes redirect to a live ancestor
             # (the reference climbs the spanning tree over bad keyframes
             # composing KeyFrame::mTcp, System.cc:595-627).
-            ref, Rrel, trel = m.resolve_kf(int(ref), Rrel, trel)
-            if ref < 0:
-                continue
+            with m.lock:
+                ref, Rrel, trel = m.resolve_kf(int(ref), Rrel, trel)
+                if ref < 0:
+                    continue
+                Rr, tr = m.kf_R[ref].copy(), m.kf_t[ref].copy()
             R_cw, t_cw = se3.se3_compose(
                 jnp.asarray(Rrel), jnp.asarray(trel),
-                jnp.asarray(m.kf_R[ref]), jnp.asarray(m.kf_t[ref]),
+                jnp.asarray(Rr), jnp.asarray(tr),
             )
             R_wc, t_wc = se3.se3_inverse(R_cw, t_cw)
             q = np.asarray(matrix_to_quat(R_wc))

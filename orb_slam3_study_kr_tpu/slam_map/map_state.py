@@ -109,6 +109,13 @@ class MapState:
         self.lm_first_kf = np.full(m, -1, np.int32)
         self.lm_visible = np.ones(m, np.int32)
         self.lm_found = np.ones(m, np.int32)
+        # Map-update lock (reference Map::mMutexMapUpdate, Map.h:141):
+        # tracking holds it for its short host read/apply sections, the
+        # async mapping/loop worker for its mutation phases.  Re-entrant so
+        # nested helpers can re-acquire; negligible cost when no worker
+        # exists (synchronous mode).
+        import threading
+        self.lock = threading.RLock()
 
     # ---------------- keyframes ----------------
 
