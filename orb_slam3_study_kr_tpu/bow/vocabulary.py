@@ -284,28 +284,46 @@ def load_dbow2_text(path) -> TreeVocabulary:
     )
 
 
-def save_vocabulary(voc, path):
-    """Serialize either vocabulary class to one .npz (System save parity)."""
+def vocabulary_arrays(voc) -> dict:
+    """Canonical array form of either vocabulary class (serialization +
+    checksum input)."""
     if isinstance(voc, TreeVocabulary):
-        np.savez_compressed(
-            path, kind="tree", centers=np.asarray(voc.centers),
+        return dict(
+            kind="tree", centers=np.asarray(voc.centers),
             children=np.asarray(voc.children),
             child_valid=np.asarray(voc.child_valid),
             node_word=np.asarray(voc.node_word),
             node_weight=np.asarray(voc.node_weight),
             k=voc.k, L=voc.L, n_words=voc.n_words_static, depth=voc.depth)
-    else:
-        np.savez_compressed(
-            path, kind="complete", centers=np.asarray(voc.centers),
-            word_weights=np.asarray(voc.word_weights),
-            level_offsets=np.asarray(voc.level_offsets),
-            k=voc.k, L=voc.L)
+    return dict(
+        kind="complete", centers=np.asarray(voc.centers),
+        word_weights=np.asarray(voc.word_weights),
+        level_offsets=np.asarray(voc.level_offsets),
+        k=voc.k, L=voc.L)
 
 
-def load_vocabulary(path):
-    z = np.load(path, allow_pickle=False)
+def vocabulary_checksum(voc) -> str:
+    """Content digest binding a session to its vocabulary (the role of the
+    reference's MD5 of the ORBvoc file, System.cc:1508 CalculateCheckSum —
+    computed over the decoded content so text/.npz carriers of the same
+    tree agree)."""
+    import hashlib
+    h = hashlib.md5()
+    arrs = vocabulary_arrays(voc)
+    for key in sorted(arrs):
+        v = arrs[key]
+        h.update(key.encode())
+        if isinstance(v, np.ndarray):
+            h.update(np.ascontiguousarray(v).tobytes())
+        else:
+            h.update(str(v).encode())
+    return h.hexdigest()
+
+
+def vocabulary_from_arrays(z) -> "TreeVocabulary | BinaryVocabulary":
+    """Inverse of vocabulary_arrays (also accepts an npz mapping)."""
     if str(z["kind"]) == "tree":
-        centers = z["centers"]
+        centers = np.asarray(z["centers"])
         if centers.shape[-1] == 256:  # legacy unpacked bits
             centers = np.packbits(centers, axis=-1)
         return TreeVocabulary(
@@ -319,5 +337,14 @@ def load_vocabulary(path):
     return BinaryVocabulary(
         centers=jnp.asarray(z["centers"]),
         word_weights=jnp.asarray(z["word_weights"]),
-        level_offsets=tuple(int(o) for o in z["level_offsets"]),
+        level_offsets=tuple(int(o) for o in np.asarray(z["level_offsets"])),
         k=int(z["k"]), L=int(z["L"]))
+
+
+def save_vocabulary(voc, path):
+    """Serialize either vocabulary class to one .npz (System save parity)."""
+    np.savez_compressed(path, **vocabulary_arrays(voc))
+
+
+def load_vocabulary(path):
+    return vocabulary_from_arrays(np.load(path, allow_pickle=False))
