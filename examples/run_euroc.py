@@ -161,9 +161,71 @@ def run_sequence(slam, seq, args, inertial):
     return n
 
 
+EUROC_MH = ["MH_01_easy", "MH_02_easy", "MH_03_medium",
+            "MH_04_difficult", "MH_05_difficult"]
+# Reference-published RMS ATE bounds [m] to beat (ORB-SLAM3 paper table,
+# arXiv 2007.11898 — monocular / stereo EuRoC MH; BASELINE.md acceptance).
+PARITY_BOUNDS = {
+    "mono": {"MH_01_easy": 0.016, "MH_02_easy": 0.027,
+             "MH_03_medium": 0.028, "MH_04_difficult": 0.138,
+             "MH_05_difficult": 0.072},
+    "stereo": {"MH_01_easy": 0.029, "MH_02_easy": 0.019,
+               "MH_03_medium": 0.024, "MH_04_difficult": 0.085,
+               "MH_05_difficult": 0.052},
+}
+
+
+def run_parity(args):
+    """BASELINE.md acceptance harness: run every EuRoC MH sequence found
+    under --parity root (each as its own session, like the reference's
+    per-sequence example runs), align with evaluate_ate_scale semantics,
+    and print the parity table against the published reference bounds.
+    Runs the moment real data is mounted; no dataset ships in this image."""
+    root = args.parity
+    bounds = PARITY_BOUNDS.get(args.sensor, {})
+    rows = []
+    for seq_name in EUROC_MH:
+        seq_root = os.path.join(root, seq_name, "mav0")
+        if not os.path.isdir(seq_root):
+            rows.append((seq_name, None, bounds.get(seq_name), "missing"))
+            continue
+        slam = build_system(args)
+        seq = load_euroc(seq_root)
+        t0 = time.perf_counter()
+        n = run_sequence(slam, seq, args, args.sensor.endswith("-inertial"))
+        wall = time.perf_counter() - t0
+        if hasattr(slam, "flush"):
+            slam.flush()
+        rmse = None
+        if seq.gt_ts is not None:
+            traj = slam.trajectory()
+            rmse, nm, _ = ate_rmse(traj[:, 0], traj[:, 1:4],
+                                   seq.gt_ts, seq.gt_pos,
+                                   with_scale=args.sensor == "mono")
+        rows.append((seq_name, rmse, bounds.get(seq_name),
+                     f"{n / max(wall, 1e-9):.1f} f/s"))
+    print(f"\nEuRoC {args.sensor} parity (RMS ATE, m — "
+          f"evaluate_ate_scale semantics):")
+    print(f"{'sequence':18s} {'ours':>8s} {'reference':>10s}  status")
+    n_pass = n_run = 0
+    for name, rmse, bound, note in rows:
+        ours = "-" if rmse is None else f"{rmse:.3f}"
+        ref = "-" if bound is None else f"{bound:.3f}"
+        status = note
+        if rmse is not None and bound is not None:
+            n_run += 1
+            ok = rmse <= bound * 1.2      # parity = within 20% of published
+            n_pass += ok
+            status = "PASS" if ok else "FAIL"
+        print(f"{name:18s} {ours:>8s} {ref:>10s}  {status}")
+    if n_run:
+        print(f"{n_pass}/{n_run} sequences at parity")
+    return 0 if n_run == 0 or n_pass == n_run else 1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("sequences", nargs="+",
+    ap.add_argument("sequences", nargs="*",
                     help="one or more <sequence>/mav0 directories; several "
                          "sequences run through ONE session (ChangeDataset)")
     ap.add_argument("--sensor", default="mono",
@@ -176,7 +238,16 @@ def main(argv=None):
     ap.add_argument("--pace", action="store_true",
                     help="deliver frames at dataset rate")
     ap.add_argument("--max-frames", type=int, default=-1)
+    ap.add_argument("--parity", default=None, metavar="EUROC_ROOT",
+                    help="BASELINE acceptance mode: run every MH sequence "
+                         "under this root (each its own session) and print "
+                         "the ATE table vs the reference's published bounds")
     args = ap.parse_args(argv)
+
+    if args.parity:
+        return run_parity(args)
+    if not args.sequences:
+        ap.error("sequences required (or --parity EUROC_ROOT)")
 
     slam = build_system(args)
     inertial = args.sensor.endswith("-inertial")

@@ -74,6 +74,31 @@ def test_multisequence_session(tmp_path):
     assert len(lines) > n  # both sequences contributed tracked frames
 
 
+@pytest.mark.slow
+def test_parity_mode(tmp_path):
+    """--parity harness: one MH fixture sequence present, the rest
+    reported missing; the table runs end to end and evaluates ATE
+    against the published bound (which the synthetic world won't meet —
+    the harness must REPORT that honestly, exit code 1)."""
+    rng = np.random.default_rng(6)
+    world = synthetic.make_textured_world(rng, depth=6.0)
+    n = 16
+    R_gt, t_gt = synthetic.lateral_trajectory(n, x_span=1.2, z_span=0.0,
+                                              y_amp=0.0)
+    root = tmp_path / "MH_01_easy" / "mav0"
+    _write_sequence(root, world, R_gt, t_gt, 10.0, rng)
+    # Ground truth in the EuRoC state_groundtruth_estimate0 layout.
+    os.makedirs(root / "state_groundtruth_estimate0", exist_ok=True)
+    cen = -np.einsum("nij,nj->ni", R_gt.transpose(0, 2, 1), t_gt)
+    with open(root / "state_groundtruth_estimate0" / "data.csv", "w") as f:
+        f.write("#timestamp, p_RS_R_x [m], p_RS_R_y [m], p_RS_R_z [m]\n")
+        for i in range(n):
+            ns = int((10.0 + i * 0.1) * 1e9)
+            f.write(f"{ns},{cen[i, 0]},{cen[i, 1]},{cen[i, 2]},1,0,0,0\n")
+    rc = run_euroc.main(["--parity", str(tmp_path), "--sensor", "mono"])
+    assert rc in (0, 1)   # table produced; pass/fail depends on the world
+
+
 def test_cli_smoke(tmp_path):
     """Arg parsing + driver plumbing without heavy tracking."""
     rng = np.random.default_rng(1)
