@@ -363,10 +363,10 @@ class LocalMapper:
         return (ts[i + 1] - ts[i - 1]) < bound
 
     # ------------------------------------------------------------------
-    def _local_ba(self, kf: int):
+    def _local_ba(self, kf: int, window=None):
         m = self.map
         with m.lock:
-            prob = self._local_ba_assemble(kf)
+            prob = self._local_ba_assemble(kf, window=window)
             if prob is None:
                 return
             out = bundle_adjust(*prob["args"], n_iters=self.ba_iters,
@@ -378,10 +378,40 @@ class LocalMapper:
         with m.lock:
             self._local_ba_apply(prob, R, t, X_new, chi2)
 
-    def _local_ba_assemble(self, kf: int):
+    def welding_ba(self, window_a, window_b, fix_b: bool = False):
+        """Two-map welding BA (MergeLocal's welding problem,
+        /root/reference/src/LoopClosing.cc:1220-1785): the current
+        keyframe's neighborhood (window_a, from the absorbed map) plus the
+        target map's neighborhood around the matched keyframe (window_b)
+        form one problem; every OTHER observer of the window's landmarks —
+        the far sides of both maps — enters as a fixed pose.  With fix_b
+        the target-map window is also held fixed (the inertial weld keeps
+        the target's gravity-consistent structure rigid,
+        Optimizer.cc:3956 MergeInertialBA's fixed side)."""
+        window_a = np.asarray(window_a, np.int32)
+        window_b = np.asarray(window_b, np.int32)
+        window_b = window_b[~np.isin(window_b, window_a)]
+        if fix_b:
+            # Any observer outside the optimized window enters as a fixed
+            # pose in the assembler, so holding the target side rigid is
+            # simply excluding it from the window.
+            window = window_a
+        else:
+            window = np.concatenate([window_a, window_b])
+        self._local_ba(int(window_a[0]), window=window)
+        self.stats["n_welding_ba"] = self.stats.get("n_welding_ba", 0) + 1
+
+    def _local_ba_assemble(self, kf: int, window=None):
         cfg, m = self.cfg, self.map
-        neighbors, _ = m.covisibility(kf, min_shared=1)
-        window = np.concatenate([[kf], neighbors[: self.ba_window - 1]]).astype(np.int32)
+        if window is None:
+            neighbors, _ = m.covisibility(kf, min_shared=1)
+            window = np.concatenate(
+                [[kf], neighbors[: self.ba_window - 1]]).astype(np.int32)
+        else:
+            window = np.asarray(window, np.int32)
+            window = window[m.kf_valid[window]]
+            if window.size == 0:
+                return None
         # Landmarks seen from the window.
         lms = np.unique(m.kf_kp_lm[window])
         lms = lms[(lms != NO_LM) & m.lm_valid[np.maximum(lms, 0)]]

@@ -45,6 +45,7 @@ class MergeResult:
     sigma: float
     R_BA: np.ndarray
     t_BA: np.ndarray
+    target_kf: int = -1   # matched keyframe on the TARGET-map side
 
 
 @dataclass
@@ -212,4 +213,5 @@ class MapMerger:
         mB.change_idx += 1
         self.stats["n_merged"] += 1
         return MergeResult(target_map=mB, kf_map=kf_map, lm_map=lm_map,
-                           sigma=sigma, R_BA=R_BA, t_BA=t_BA)
+                           sigma=sigma, R_BA=R_BA, t_BA=t_BA,
+                           target_kf=int(cand))

@@ -331,16 +331,28 @@ class SlamSystem:
                 new_rows.append((ts, ref, Rrel, trel, state, ok, m))
         tr.trajectory = new_rows
 
-        # Welding BA around the re-entry keyframe: visual-inertial over the
-        # temporal seam window when the merged map is IMU-initialized
-        # (MergeInertialBA, /root/reference/src/Optimizer.cc:3956), else
-        # MergeLocal's visual mini-BA.
-        welded = False
-        if (self.cfg.sensor.endswith("-inertial") and mB.imu_initialized
-                and hasattr(tr, "local_inertial_ba")):
-            welded = tr.local_inertial_ba(tr.ref_kf)
-        if not welded:
-            self.local_mapper._local_ba(tr.ref_kf)
+        # Two-map welding BA (MergeLocal's welding window,
+        # LoopClosing.cc:1220-1785): the re-entry keyframe's neighborhood
+        # (transferred map) + the matched keyframe's neighborhood (target
+        # map) are optimized together, every far-side observer fixed.  For
+        # an IMU-initialized merged map the VI temporal seam solve runs
+        # first (MergeInertialBA role, Optimizer.cc:3956) and the welding
+        # window then holds the target side rigid so the target's
+        # gravity-consistent structure is preserved.
+        WELD_WINDOW = 25            # LoopClosing.cc:1220 numTemporalKFs
+        kf_new = tr.ref_kf
+        nb_a, _ = mB.covisibility(kf_new, min_shared=1)
+        window_a = np.concatenate([[kf_new], nb_a[: WELD_WINDOW - 1]])
+        nb_b, _ = mB.covisibility(int(res.target_kf), min_shared=1)
+        window_b = np.concatenate([[res.target_kf],
+                                   nb_b[: WELD_WINDOW - 1]])
+        inertial_weld = (self.cfg.sensor.endswith("-inertial")
+                         and mB.imu_initialized
+                         and hasattr(tr, "local_inertial_ba"))
+        if inertial_weld:
+            tr.local_inertial_ba(tr.ref_kf)
+        self.local_mapper.welding_ba(window_a, window_b,
+                                     fix_b=inertial_weld)
 
     # ------------------------------------------------------------------
     def _on_kf_culled(self, kf: int):
