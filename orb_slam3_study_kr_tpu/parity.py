@@ -107,9 +107,10 @@ def audit_rows():
         R("mapping.local_ba_window", lm.ba_window, None,
           "Optimizer.cc:1118-1132 (ALL covisible KFs optimized; "
           "observers fixed)",
-          deviation="12-KF covisibility window: fixed-shape jit wants a "
-                    "bounded window; 12 covers the covisible set of "
-                    "EuRoC-scale maps in one bucket"),
+          deviation="20-KF covisibility window: fixed-shape jit wants a "
+                    "bounded window; 20 keeps longer-baseline anchors in "
+                    "the solve (13% mono-ATE win over 12, NOTES round 4) "
+                    "at one bucket of recompilation"),
         R("mapping.inertial_ba_window", 10, 10,
           "Optimizer.cc:2391 Nd=10 (25 if bLarge)"),
         # --- triangulation gates (LocalMapping.cc:398 CreateNewMapPoints)

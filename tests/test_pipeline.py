@@ -30,6 +30,22 @@ def _run(slam, world_or_scene, R_gt, t_gt, textured, rng):
     return rows, rmse, nm
 
 
+def test_mono_slam_smoke():
+    """QUICK-tier end-to-end wall (runs in `-m "not slow"`): a short mono
+    sequence must initialize, track every frame, and stay under a loose
+    scale-aligned ATE bound.  The tight walls live in the slow tier."""
+    rng = np.random.default_rng(1)
+    world = synthetic.make_textured_world(rng, depth=6.0)
+    n_frames = 18
+    R_gt, t_gt = synthetic.lateral_trajectory(n_frames, x_span=0.5,
+                                              z_span=0.0, y_amp=0.0)
+    slam = SlamSystem(SystemConfig(tracker=TrackerConfig(fps=10)))
+    _, rmse, nm = _run(slam, world, R_gt, t_gt, True, rng)
+    assert slam.state == TrackState.OK, slam.stats()
+    assert nm > 10
+    assert rmse < 0.2, f"smoke ATE {rmse:.4f}"
+
+
 @pytest.mark.slow
 def test_mono_slam_textured_lateral(tmp_path):
     """Viewpoint-stable lateral translation through a textured corridor
