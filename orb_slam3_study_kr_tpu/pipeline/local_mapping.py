@@ -165,7 +165,7 @@ class LocalMapper:
             nbs.append(nb)
         if not nbs:
             return None
-        NB = _nb_bucket(len(nbs), (4, 12, self.n_neighbors))
+        NB = _nb_bucket(len(nbs), (2, 4, 8, 12, self.n_neighbors))
         sl = np.asarray(nbs + [0] * (NB - len(nbs)), np.int32)
         free1 = m.kf_kp_valid[kf] & (m.kf_kp_lm[kf] == NO_LM)
         free2s = m.kf_kp_valid[sl] & (m.kf_kp_lm[sl] == NO_LM)
@@ -249,7 +249,7 @@ class LocalMapper:
             )
 
         nbs = [int(nb) for nb in neighbors]
-        NB = _nb_bucket(len(nbs), (4, 10))
+        NB = _nb_bucket(len(nbs), (2, 4, 6, 10))
         sl = np.asarray(nbs + [0] * (NB - len(nbs)), np.int32)
         base = pad(np.ones(cand.size, np.float32))
         masks = np.zeros((NB, L), np.float32)
