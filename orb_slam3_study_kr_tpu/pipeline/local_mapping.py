@@ -132,11 +132,11 @@ class LocalMapper:
             pending = self._triangulation_dispatch(kf)
         if pending is None:
             return
-        nbs, out = pending
+        nbs, (out, sel1p, sel2p) = pending
         # Fetch OUTSIDE the lock: the tracker interleaves here.
         good, idx2, X = jax.device_get((out["good"], out["idx2"], out["X"]))
         with m.lock:
-            self._triangulation_apply(kf, nbs, good, idx2, X)
+            self._triangulation_apply(kf, nbs, good, idx2, X, sel1p, sel2p)
 
     def _triangulation_dispatch(self, kf: int):
         """ALL neighbors' matching+triangulation in ONE batched program
@@ -167,39 +167,64 @@ class LocalMapper:
             return None
         NB = _nb_bucket(len(nbs), (2, 4, 8, 12, self.n_neighbors))
         sl = np.asarray(nbs + [0] * (NB - len(nbs)), np.int32)
+        # Compact both sides to their FREE (unbound, valid) keypoints,
+        # bucketed: the Hamming/epipolar problem is quadratic in keypoint
+        # count and most keypoints of a tracked keyframe are already bound
+        # — compaction cuts the mapper's device FLOPs several-fold.
         free1 = m.kf_kp_valid[kf] & (m.kf_kp_lm[kf] == NO_LM)
+        sel1 = np.nonzero(free1)[0]
+        F1 = _nb_bucket(max(sel1.size, 1), (256, 512, m.max_kp))
+        sel1p = np.zeros(F1, np.int64)
+        sel1p[: sel1.size] = sel1
+        mask1 = np.zeros(F1, bool)
+        mask1[: sel1.size] = True
         free2s = m.kf_kp_valid[sl] & (m.kf_kp_lm[sl] == NO_LM)
         free2s[len(nbs):] = False      # padded slots produce no matches
-        uv_a = jnp.asarray(m.kf_kp_uv[kf])
-        uv2s = jnp.asarray(m.kf_kp_uv[sl])
+        F2 = _nb_bucket(max(int(free2s.sum(1).max()), 1),
+                        (256, 512, m.max_kp))
+        sel2p = np.zeros((NB, F2), np.int64)
+        mask2 = np.zeros((NB, F2), bool)
+        for i in range(NB):
+            s = np.nonzero(free2s[i])[0][:F2]
+            sel2p[i, : s.size] = s
+            mask2[i, : s.size] = True
+        uv_a = jnp.asarray(m.kf_kp_uv[kf, sel1p])
+        uv2s = jnp.asarray(m.kf_kp_uv[sl[:, None], sel2p])
         out = triangulation_match.match_and_triangulate_batch(
             jnp.asarray(m.kf_R[kf]), jnp.asarray(m.kf_t[kf]),
             jnp.asarray(m.kf_R[sl]), jnp.asarray(m.kf_t[sl]),
             cfg.project_fn, jnp.float32(cfg.focal),
             uv_a, cfg.unproject_fn(uv_a),
-            jnp.asarray(m.kf_kp_level[kf]), jnp.asarray(m.kf_desc[kf]),
-            jnp.asarray(free1),
+            jnp.asarray(m.kf_kp_level[kf, sel1p]),
+            jnp.asarray(m.kf_desc[kf, sel1p]),
+            jnp.asarray(mask1),
             uv2s, cfg.unproject_fn(uv2s),
-            jnp.asarray(m.kf_kp_level[sl]), jnp.asarray(m.kf_desc[sl]),
-            jnp.asarray(free2s),
-            jnp.asarray(m.kf_kp_angle[kf]), jnp.asarray(m.kf_kp_angle[sl]),
+            jnp.asarray(m.kf_kp_level[sl[:, None], sel2p]),
+            jnp.asarray(m.kf_desc[sl[:, None], sel2p]),
+            jnp.asarray(mask2),
+            jnp.asarray(m.kf_kp_angle[kf, sel1p]),
+            jnp.asarray(m.kf_kp_angle[sl[:, None], sel2p]),
         )
-        return nbs, out
+        return nbs, (out, sel1p, sel2p)
 
-    def _triangulation_apply(self, kf: int, nbs, good_all, idx2_all, X_all):
+    def _triangulation_apply(self, kf: int, nbs, good_all, idx2_all, X_all,
+                             sel1p, sel2p):
         """Host-side binding; earlier neighbors take precedence on
-        contested keypoints of kf."""
+        contested keypoints of kf.  Rows arrive in COMPACTED (free-
+        keypoint) coordinates; sel1p/sel2p translate back."""
         m = self.map
         free1 = m.kf_kp_valid[kf] & (m.kf_kp_lm[kf] == NO_LM)
         created = []
         for i, nb in enumerate(nbs):
-            good, idx2, Xall = good_all[i], idx2_all[i], X_all[i]
-            good = good & free1
+            good, idx2 = good_all[i], idx2_all[i]
+            Xall = X_all[i]
+            good = good & free1[sel1p]
             if not good.any():
                 continue
-            kp1 = np.nonzero(good)[0].astype(np.int32)
-            kp2 = idx2[kp1]
-            X = Xall[kp1]
+            c1 = np.nonzero(good)[0]
+            kp1 = sel1p[c1].astype(np.int32)
+            kp2 = sel2p[i][idx2[c1]].astype(np.int32)
+            X = Xall[c1]
             lm_ids = m.add_landmarks(X, m.kf_desc[kf, kp1], kf,
                                      patches=m.kf_kp_patch[kf, kp1])
             m.bind(kf, kp1, lm_ids)
