@@ -97,6 +97,9 @@ def main():
     # --- fused Pallas gated-NN matcher vs the HBM matrix path ---
     match_ms = _matcher_ab()
 
+    # --- speed-of-light accounting: XLA cost model vs measured time ---
+    roofline = _roofline(ba_args, n_ba_iters)
+
     # --- BA scaling table (virtual CPU mesh; real multi-chip when available)
     scaling = _ba_scaling((1, 2, 4, 8))
 
@@ -129,9 +132,11 @@ def main():
         "ba_pcg_iters_per_s": round(ba_pcg_iters_per_s, 2),
         "ba_problem": f"K={K} M={M} O={O}",
         "matcher_ms": match_ms,
+        "roofline": roofline,
         "ba_scaling_cpu_mesh": scaling,
         "ba_sharding_overhead_efficiency": eff,
         "multihost_ba": multihost,
+        "ba_collectives_per_iter": _collectives(),
         "host_cores": __import__("os").cpu_count(),
         "device": str(jax.devices()[0]),
     }))
@@ -169,6 +174,134 @@ def _system_fps(n_frames: int = 48):
     }
     slam.shutdown()
     return 1.0 / max(med, 1e-9), detail
+
+
+# Documented peaks for the bench chip (TPU v5e / v5 lite): 197 TFLOP/s
+# bf16 MXU (f32 programs run below this by construction) and 819 GB/s HBM.
+PEAK_FLOPS_BF16 = 197e12
+PEAK_HBM_BYTES = 819e9
+
+
+def _time_compiled(compiled, args, reps=20):
+    """Median seconds per call: queue `reps` async dispatches back-to-back
+    and sync once (block_until_ready is unreliable over the chip tunnel;
+    serial device execution amortizes the round trip across reps)."""
+    import jax
+
+    out = compiled(*args)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(),
+                           jax.tree_util.tree_leaves(out))
+    _sync = lambda o: np.asarray(
+        jax.device_get(jax.tree_util.tree_leaves(o)[0]))
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = compiled(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def _roofline(ba_args, n_ba_iters):
+    """Speed-of-light accounting for the three hot kernels: XLA's own cost
+    model (flops + bytes accessed from compiled.cost_analysis()) against
+    measured wall time, expressed as fractions of the chip's bf16-MXU and
+    HBM-bandwidth peaks.  `optimal_seconds` is XLA's own roofline bound
+    for the program on this chip."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    from orb_slam3_study_kr_tpu.ops.orb import OrbConfig, extract_orb
+    from orb_slam3_study_kr_tpu.solvers import bundle_adjust
+
+    rng = np.random.default_rng(11)
+    out = {}
+
+    def entry(compiled, args):
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        secs = _time_compiled(compiled, args)
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        return {
+            "ms": round(secs * 1e3, 3),
+            "gflops": round(flops / 1e9, 2),
+            "gbytes": round(byts / 1e9, 3),
+            "mfu_bf16_peak": round(flops / secs / PEAK_FLOPS_BF16, 4),
+            "hbm_bw_util": round(byts / secs / PEAK_HBM_BYTES, 4),
+        }
+
+    try:
+        cfg = OrbConfig()
+        img = jnp.asarray(rng.integers(0, 255, (cfg.height, cfg.width))
+                          .astype(np.float32))
+        comp = extract_orb.lower(img, cfg).compile()
+        out["extract"] = entry(comp, (img,))
+    except Exception as e:  # pragma: no cover - bench resilience
+        out["extract"] = {"error": str(e)[:120]}
+
+    try:
+        from orb_slam3_study_kr_tpu.ops import track_match
+        margs = _matcher_args(rng)
+        fn = (track_match.match_local_map_pallas
+              if jax.default_backend() == "tpu"
+              else track_match.match_local_map)
+        comp = fn.lower(*margs).compile()
+        e = entry(comp, margs[1:])   # drop the static fn arg
+        # XLA's cost model cannot see inside the Pallas custom call: add
+        # the analytic count (the (L, N) Hamming matrix is one
+        # (L,256)x(256,N) contraction + ~10 gate ops per pair).
+        L, N = 4096, 1024
+        aflops = 2.0 * L * N * 256 + 10.0 * L * N
+        e["analytic_gflops"] = round(aflops / 1e9, 2)
+        e["analytic_mfu_bf16_peak"] = round(
+            aflops / (e["ms"] / 1e3) / PEAK_FLOPS_BF16, 4)
+        out["matcher"] = e
+    except Exception as e:
+        out["matcher"] = {"error": str(e)[:120]}
+
+    try:
+        comp = functools.partial(bundle_adjust, n_iters=n_ba_iters)
+        comp = jax.jit(comp, static_argnums=(0, 1)).lower(*ba_args).compile()
+        e = entry(comp, ba_args[2:])
+        e["note"] = f"per solve of {n_ba_iters} LM iterations"
+        out["ba"] = e
+    except Exception as e:
+        out["ba"] = {"error": str(e)[:120]}
+    return out
+
+
+def _collectives():
+    """psum count per distributed-BA LM iteration, per assembly (the
+    dense assemblies are communication-avoiding: constant 5)."""
+    from orb_slam3_study_kr_tpu.parallel.dist_ba import collectives_per_iter
+    return {"dense_chunked": collectives_per_iter("dense_chunked"),
+            "pcg_60cg": collectives_per_iter("pcg", 60)}
+
+
+def _matcher_args(rng, L=4096, N=1024):
+    import functools
+    import jax.numpy as jnp
+    from orb_slam3_study_kr_tpu.cameras import pinhole
+
+    params = jnp.asarray([458.0, 457.0, 376.0, 240.0, 0, 0, 0, 0, 0],
+                         jnp.float32)
+    project_fn = functools.partial(pinhole.project, params)
+    lm_pos = np.stack([rng.uniform(-3, 3, L), rng.uniform(-2, 2, L),
+                       rng.uniform(3, 9, L)], -1).astype(np.float32)
+    dirs = (lm_pos / np.linalg.norm(lm_pos, axis=-1, keepdims=True)
+            ).astype(np.float32)
+    return (project_fn, jnp.eye(3), jnp.zeros(3),
+            jnp.asarray(lm_pos), jnp.asarray(dirs),
+            jnp.asarray(rng.uniform(0.5, 1, L).astype(np.float32)),
+            jnp.asarray(rng.uniform(8, 20, L).astype(np.float32)),
+            jnp.asarray((rng.random((L, 256)) < 0.5).astype(np.uint8)),
+            jnp.ones(L, jnp.float32),
+            jnp.asarray(rng.uniform(0, 752, (N, 2)).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 8, N).astype(np.int32)),
+            jnp.asarray((rng.random((N, 256)) < 0.5).astype(np.uint8)),
+            jnp.ones(N, bool), 752, 480)
 
 
 def _matcher_ab(L=4096, N=1024, reps=30):
@@ -246,7 +379,7 @@ def _multihost_ba():
             procs.append(subprocess.Popen(
                 [sys.executable, "-m",
                  "orb_slam3_study_kr_tpu.parallel.multihost_worker",
-                 str(pid), str(num_procs), str(port), "10", "pcg"],
+                 str(pid), str(num_procs), str(port), "10", "dense_chunked"],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 text=True))
         outs = [p.communicate(timeout=600) for p in procs]

@@ -212,27 +212,30 @@ def select_keypoints(score20, score7, quota, cell, topk):
     return sel_x, sel_y, top_vals, valid
 
 
-def subpixel_refine(score_raw, xs, ys):
-    """Parabolic 3x3 sub-pixel refinement on the (pre-NMS) score map.
+def subpixel_offset_maps(score_raw):
+    """Dense parabolic 3x3 sub-pixel offset maps (dx, dy) of the (pre-NMS)
+    score map — pure elementwise VPU work; per-keypoint offsets are then
+    two N-element gathers instead of five scalar gathers per keypoint.
 
     The reference keeps integer FAST corners; the ~0.3 px quantization that
-    costs mono accuracy is cheap to remove on TPU: one gather + closed-form
-    1-D parabola per axis, offsets clamped to +-0.5."""
+    costs mono accuracy is cheap to remove on TPU."""
+    c = score_raw
+    l = jnp.roll(c, 1, axis=1)
+    r = jnp.roll(c, -1, axis=1)
+    u = jnp.roll(c, 1, axis=0)
+    d = jnp.roll(c, -1, axis=0)
+    denx = 2.0 * c - l - r
+    deny = 2.0 * c - u - d
+    dx = jnp.where(jnp.abs(denx) > 1e-6, 0.5 * (r - l) / denx, 0.0)
+    dy = jnp.where(jnp.abs(deny) > 1e-6, 0.5 * (d - u) / deny, 0.0)
+    return jnp.clip(dx, -0.5, 0.5), jnp.clip(dy, -0.5, 0.5)
 
-    def one(y, x):
-        c = score_raw[y, x]
-        l = score_raw[y, x - 1]
-        r = score_raw[y, x + 1]
-        u = score_raw[y - 1, x]
-        d = score_raw[y + 1, x]
-        denx = 2.0 * c - l - r
-        deny = 2.0 * c - u - d
-        dx = jnp.where(jnp.abs(denx) > 1e-6, 0.5 * (r - l) / denx, 0.0)
-        dy = jnp.where(jnp.abs(deny) > 1e-6, 0.5 * (d - u) / deny, 0.0)
-        return jnp.clip(dx, -0.5, 0.5), jnp.clip(dy, -0.5, 0.5)
 
-    dx, dy = jax.vmap(one)(ys, xs)
-    return xs.astype(jnp.float32) + dx, ys.astype(jnp.float32) + dy
+def subpixel_refine(score_raw, xs, ys):
+    """Per-keypoint parabolic refinement (gathers from the dense maps)."""
+    dx, dy = subpixel_offset_maps(score_raw)
+    return (xs.astype(jnp.float32) + dx[ys, xs],
+            ys.astype(jnp.float32) + dy[ys, xs])
 
 
 def gather_patches(img, xs, ys, radius):
@@ -300,6 +303,77 @@ def compute_descriptors(img_blur, xs, ys, angles):
 
 PATCH_R = 5  # oriented verification patch radius (11x11)
 
+# Cross-level batched keypoint stage: one superpatch per keypoint covers
+# the orientation disc (r=15), the rotated pattern reach (r<=13 + bilinear
+# margin) and the oriented 11x11 patch (r=5*sqrt2+margin).
+SUPER_R = 16
+_SS = 2 * SUPER_R + 1
+
+
+def _hat(d):
+    """Bilinear interpolation kernel max(0, 1 - |d|)."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def _gather_superpatches(stack, lvl, yi, xi):
+    """(N, 33, 33) windows centered at level pixel (yi, xi) from a
+    (L, H+2R, W+2R) stack whose level images sit at offset (+R, +R)."""
+
+    def one(l, y, x):
+        return jax.lax.dynamic_slice(stack, (l, y, x), (1, _SS, _SS))[0]
+
+    return jax.vmap(one)(lvl, yi, xi)
+
+
+def _orientation_from_patches(raw_sp):
+    """Intensity-centroid angle from integer-centered superpatches
+    (IC_Angle, ORBextractor.cc:76) — batched VPU reduces, no gathers."""
+    coords = jnp.arange(-SUPER_R, SUPER_R + 1, dtype=jnp.float32)
+    rr = coords[:, None] ** 2 + coords[None, :] ** 2
+    disc = (rr <= HALF_PATCH * HALF_PATCH).astype(jnp.float32)
+    m01 = jnp.sum(raw_sp * disc[None] * coords[None, :, None], axis=(1, 2))
+    m10 = jnp.sum(raw_sp * disc[None] * coords[None, None, :], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def _sample_rotated(blur_sp, offs_y, offs_x, fy, fx, angles):
+    """Bilinear samples of each superpatch at its keypoint-rotated offsets
+    (+ the sub-pixel center fraction), as separable hat-weight
+    contractions on the MXU instead of per-element gathers (the ops/klt.py
+    trick — gathers serialize on TPU).
+
+    offs_y/offs_x: (P,) canonical offsets; returns (N, P) samples."""
+    ca = jnp.cos(angles)[:, None]
+    sa = jnp.sin(angles)[:, None]
+    px = SUPER_R + fx[:, None] + offs_x[None] * ca - offs_y[None] * sa
+    py = SUPER_R + fy[:, None] + offs_x[None] * sa + offs_y[None] * ca
+    s_iota = jnp.arange(_SS, dtype=jnp.float32)
+    A = _hat(py[..., None] - s_iota)              # (N, P, S)
+    B = _hat(px[..., None] - s_iota)
+    C = jnp.einsum("nps,nst->npt", A, blur_sp)    # rows interpolated in y
+    return jnp.einsum("npt,npt->np", C, B)
+
+
+def _descriptors_from_patches(blur_sp, fy, fx, angles):
+    """(N, 256) uint8 rotated-BRIEF bits via one batched MXU sampling of
+    the 512 pattern points (replaces the per-keypoint rounded-offset
+    gathers; sampling is bilinear rather than nearest — descriptors stay
+    self-consistent because matching uses this same extractor)."""
+    pts = jnp.asarray(PATTERN.reshape(2 * DESC_BITS, 2), jnp.float32)
+    vals = _sample_rotated(blur_sp, pts[:, 0], pts[:, 1], fy, fx, angles)
+    vals = vals.reshape(-1, DESC_BITS, 2)
+    return (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)
+
+
+def _oriented_patches_from_patches(blur_sp, fy, fx, angles, radius=PATCH_R):
+    """(N, 11, 11) canonical-orientation patches at the refined center
+    (gather_oriented_patches semantics, batched)."""
+    grid = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(grid, grid, indexing="ij")
+    vals = _sample_rotated(blur_sp, gy.ravel(), gx.ravel(), fy, fx, angles)
+    p = 2 * radius + 1
+    return vals.reshape(-1, p, p)
+
 
 @dataclass(frozen=True)
 class OrbFeatures:
@@ -362,6 +436,9 @@ def build_pyramid(img, cfg: OrbConfig):
 
 
 def extract_level(img_l, quota, cfg: OrbConfig):
+    """Dense per-level stage: FAST score, two-threshold NMS, cell select,
+    sub-pixel offsets.  Per-keypoint work (orientation/descriptor/patch)
+    happens once, batched across ALL levels, in extract_orb."""
     s_raw = fast_score_map(img_l, float(cfg.fast_min_threshold))
     s20 = jnp.where(s_raw > cfg.fast_threshold, s_raw, 0.0)
     border = _border_mask(*img_l.shape, EDGE_MARGIN - 3)
@@ -370,59 +447,87 @@ def extract_level(img_l, quota, cfg: OrbConfig):
     xs, ys, resp, valid = select_keypoints(
         s20, s7, quota, cfg.cell_size, cfg.cell_topk
     )
-    xf, yf = subpixel_refine(s_raw, xs, ys)
-    angle = compute_orientation(img_l, xs, ys)
-    blurred = gaussian_blur7(img_l)
-    desc = compute_descriptors(blurred, xs, ys, angle)
-    # Template patch is sampled at the sub-pixel-refined center so that its
-    # center coincides with the reported keypoint coordinate (the KLT
-    # alignment in ops/klt.py relies on this).
-    patch = gather_oriented_patches(blurred, xf, yf, angle).astype(jnp.uint8)
-    return xf, yf, resp, valid, angle, desc, patch, blurred
+    dxm, dym = subpixel_offset_maps(s_raw)
+    return xs, ys, resp, valid, dxm[ys, xs], dym[ys, xs]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "with_pyramid"))
 def extract_orb(img, cfg: OrbConfig, with_pyramid: bool = False):
     """Full-pyramid ORB extraction; one jit, all shapes static.
 
+    TPU-first structure: the dense stages (score/NMS/select) run per
+    level, then every keypoint of every level goes through ONE batched
+    per-keypoint stage — a single superpatch gather from the padded
+    pyramid stacks followed by MXU hat-weight contractions for the
+    rotated-BRIEF bits and the oriented patch (no per-level gather
+    chains; measured several-fold faster than the per-level layout).
+
     With with_pyramid=True additionally returns the (L, H, W) blurred
     pyramid stack (levels zero-padded to level-0 size) for KLT alignment.
     """
     pyr = build_pyramid(img, cfg)
-    uvs, resps, angles, levels, descs, valids, patches = [], [], [], [], [], [], []
-    blur_stack = {}
+    blur = [gaussian_blur7(p) for p in pyr]
+    H0, W0 = cfg.height, cfg.width
+    xs_l, ys_l, fx_l, fy_l, resp_l, valid_l, lvl_l, uv_l = \
+        [], [], [], [], [], [], [], []
     for l in range(cfg.n_levels):
         q = cfg.level_quotas[l]
         if q == 0:
             continue
-        xs, ys, resp, valid, angle, desc, patch, blurred = extract_level(
-            pyr[l], q, cfg)
-        if with_pyramid:
-            blur_stack[l] = blurred
+        xs, ys, resp, valid, fx, fy = extract_level(pyr[l], q, cfg)
         # Pixel-center alignment: level pixel x maps to level-0 coordinate
         # (x + 0.5) * ratio - 0.5 with the *actual* per-axis resize ratio
         # (nominal 1.2^l drifts from the rounded level sizes).  Without this
         # every level carries a constant ~0.5*(ratio-1) px offset and level
         # hopping turns it into view-dependent measurement error.
         h_l, w_l = cfg.level_sizes[l]
-        sx = cfg.width / w_l
-        sy = cfg.height / h_l
-        uvs.append(jnp.stack([(xs + 0.5) * sx - 0.5,
-                              (ys + 0.5) * sy - 0.5], axis=-1))
-        resps.append(resp)
-        angles.append(angle)
-        levels.append(jnp.full((q,), l, jnp.int32))
-        descs.append(desc)
-        valids.append(valid)
-        patches.append(patch)
+        sx = W0 / w_l
+        sy = H0 / h_l
+        uv_l.append(jnp.stack([(xs + fx + 0.5) * sx - 0.5,
+                               (ys + fy + 0.5) * sy - 0.5], axis=-1))
+        xs_l.append(xs)
+        ys_l.append(ys)
+        fx_l.append(fx)
+        fy_l.append(fy)
+        resp_l.append(resp)
+        valid_l.append(valid)
+        lvl_l.append(jnp.full((q,), l, jnp.int32))
+    xs = jnp.concatenate(xs_l)
+    ys = jnp.concatenate(ys_l)
+    fx = jnp.concatenate(fx_l)
+    fy = jnp.concatenate(fy_l)
+    lvl = jnp.concatenate(lvl_l)
+
+    # Padded pyramid stacks: level images at offset (+R, +R) so a slice
+    # starting at (y, x) is the 33x33 window centered on level pixel (y, x).
+    R = SUPER_R
+
+    def stack_padded(levels):
+        out = []
+        for l in range(cfg.n_levels):
+            h, w = cfg.level_sizes[l]
+            out.append(jnp.pad(levels[l],
+                               ((R, H0 + R - h), (R, W0 + R - w))))
+        return jnp.stack(out)
+
+    raw_stack = stack_padded(pyr)
+    blur_stack_p = stack_padded(blur)
+    raw_sp = _gather_superpatches(raw_stack, lvl, ys, xs)
+    blur_sp = _gather_superpatches(blur_stack_p, lvl, ys, xs)
+
+    angle = _orientation_from_patches(raw_sp)
+    desc = _descriptors_from_patches(blur_sp, fy, fx, angle)
+    patch = _oriented_patches_from_patches(
+        blur_sp, fy, fx, angle).astype(jnp.uint8)
+
     feats = OrbFeatures(
-        uv=jnp.concatenate(uvs),
-        response=jnp.concatenate(resps),
-        angle=jnp.concatenate(angles),
-        level=jnp.concatenate(levels),
-        desc=jnp.concatenate(descs),
-        valid=jnp.concatenate(valids),
-        patch=jnp.concatenate(patches),
+        uv=jnp.concatenate(uv_l),
+        response=jnp.concatenate(resp_l),
+        angle=angle,
+        level=lvl,
+        desc=desc,
+        valid=jnp.concatenate(valid_l),
+        patch=patch,
     )
     if with_pyramid:
         # Stack indexed by level number: levels skipped by a zero quota
@@ -430,9 +535,7 @@ def extract_orb(img, cfg: OrbConfig, with_pyramid: bool = False):
         stack = []
         for l in range(cfg.n_levels):
             h, w = cfg.level_sizes[l]
-            b = blur_stack.get(l)
-            if b is None:
-                b = gaussian_blur7(pyr[l])
-            stack.append(jnp.pad(b, ((0, cfg.height - h), (0, cfg.width - w))))
+            stack.append(jnp.pad(blur[l],
+                                 ((0, H0 - h), (0, W0 - w))))
         return feats, jnp.stack(stack)
     return feats

@@ -26,6 +26,8 @@ from orb_slam3_study_kr_tpu.ops.matching import BIG, TH_LOW, hamming_matrix
 from orb_slam3_study_kr_tpu.lie.so3 import hat
 
 CHI2_MONO = 5.991
+EPI_CHI2 = 3.84          # epipolar gate (Pinhole.cpp:128)
+MIN_PARALLAX_COS = 0.9998  # LocalMapping.cc:608 cosParallaxRays gate
 
 
 @functools.partial(jax.jit, static_argnames=("project_fn",))
@@ -35,7 +37,7 @@ def match_and_triangulate(
     uv2, b2, level2, desc2, free2,
     angle1=None, angle2=None,
     scale_factor=1.2,
-    epi_chi2=3.84,
+    epi_chi2=EPI_CHI2,
     nn_ratio=0.9,
 ):
     """Match free keypoints of KF1 against KF2 along epipolar planes and
@@ -115,7 +117,7 @@ def match_and_triangulate(
     good = (
         matched
         & z_ok
-        & (cos_par < 0.9998)
+        & (cos_par < MIN_PARALLAX_COS)
         & (cos_par > 0)
         & reproj_ok
         & sc_ok
@@ -131,7 +133,7 @@ def match_and_triangulate_batch(
     uv2s, b2s, level2s, desc2s, free2s,
     angle1, angle2s,
     scale_factor=1.2,
-    epi_chi2=3.84,
+    epi_chi2=EPI_CHI2,
     nn_ratio=0.9,
 ):
     """All-neighbors triangulation in ONE program: vmap of

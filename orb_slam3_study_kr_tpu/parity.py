@@ -43,6 +43,13 @@ def audit_rows():
         loop_closing.LoopCloser).parameters.items()}
     db_sig = {k: v.default for k, v in inspect.signature(
         _db_mod.KeyframeDatabase.detect_candidates).parameters.items()}
+    from orb_slam3_study_kr_tpu.pipeline import inertial_tracking, \
+        local_mapping
+    from orb_slam3_study_kr_tpu.solvers import pnp
+    pnp_sig = {k: v.default for k, v in inspect.signature(
+        pnp.ransac_pnp).parameters.items()}
+    tri_sig = {k: v.default for k, v in inspect.signature(
+        triangulation_match.match_and_triangulate).parameters.items()}
 
     R = Row
     return [
@@ -82,7 +89,7 @@ def audit_rows():
                     "two-view solutions than the reference's sequential "
                     "refinement; the extra 0.5 deg of required baseline "
                     "compensates (tuned on synthetic worlds, NOTES.md)"),
-        R("track.reloc_pnp_min_inliers", 15, 15,
+        R("track.reloc_pnp_min_inliers", pnp_sig["min_inliers"], 15,
           "Tracking.cc:3714 (RANSAC SetParameters minInliers=15; our "
           "ransac_pnp min_inliers default, solvers/pnp.py:56)"),
         R("track.motion_model_widen", (3.0, 6.0), (7.0, 14.0),
@@ -93,7 +100,7 @@ def audit_rows():
                     "aliased matches on self-similar texture (NOTES.md "
                     "pose-gated feedback)"),
         # --- local mapping (LocalMapping.cc) ---
-        R("mapping.cull_found_ratio", 0.25, 0.25,
+        R("mapping.cull_found_ratio", local_mapping.CULL_FOUND_RATIO, 0.25,
           "LocalMapping.cc:375 GetFoundRatio<0.25f"),
         R("mapping.cull_min_obs", 2, 2,
           "LocalMapping.cc:370 nObs<=cnThObs (mono, 2 after 2 KFs)"),
@@ -114,13 +121,14 @@ def audit_rows():
         R("mapping.inertial_ba_window", 10, 10,
           "Optimizer.cc:2391 Nd=10 (25 if bLarge)"),
         # --- triangulation gates (LocalMapping.cc:398 CreateNewMapPoints)
-        R("triangulation.epi_chi2", 3.84, 3.84,
+        R("triangulation.epi_chi2", tri_sig["epi_chi2"], 3.84,
           "Pinhole.cpp:128 (dsqr < 3.84*unc epipolarConstrain)"),
         R("triangulation.reproj_chi2", triangulation_match.CHI2_MONO,
           5.991, "LocalMapping.cc:596,605"),
         R("triangulation.scale_ratio_slack", 1.5, 1.5,
           "LocalMapping.cc:439,719 ratioFactor=1.5f*scaleFactor"),
-        R("triangulation.min_parallax_cos", 0.9998, 0.9998,
+        R("triangulation.min_parallax_cos",
+          triangulation_match.MIN_PARALLAX_COS, 0.9998,
           "LocalMapping.cc:608 cosParallaxRays<0.9998 (visual)"),
         # --- place recognition (KeyFrameDatabase.cc, LoopClosing.cc) ---
         R("bow.common_word_ratio", db_sig["min_common_ratio"], 0.8,
@@ -146,7 +154,8 @@ def audit_rows():
         # --- IMU (LocalMapping.cc:187-249, ImuTypes.cc) ---
         R("imu.init_times", sc.imu_init_times, (2.0, 5.0, 15.0),
           "LocalMapping.cc:187-249 (IMU init @2s, VIBA1 @5s, VIBA2 @15s)"),
-        R("imu.prior_schedule", ((1e2, 1e10), (1.0, 1e5), (0.0, 0.0)),
+        R("imu.prior_schedule",
+          tuple(inertial_tracking.IMU_PRIOR_SCHEDULE[k] for k in (1, 2, 3)),
           ((1e2, 1e10), (1.0, 1e5), (0.0, 0.0)),
           "LocalMapping.cc:1302-1343 priorG/priorA per stage"),
         R("imu.recently_lost_window_s", 5.0, 5.0,

@@ -25,8 +25,11 @@ frame boundary (SlamSystem._drain_async_events) — the role of the
 reference's mbResetRequested-style flag handshakes.
 """
 
+import logging
 import queue
 import threading
+
+log = logging.getLogger(__name__)
 
 
 class AsyncMapping:
@@ -45,8 +48,9 @@ class AsyncMapping:
         self._idle.set()
         self._pending = 0
         self._pending_cv = threading.Condition()
-        self._error = None
-        self.stats = {"n_processed": 0, "n_waits": 0}
+        self._errors = []                  # every worker exception, in order
+        self._errors_lock = threading.Lock()
+        self.stats = {"n_processed": 0, "n_waits": 0, "n_errors": 0}
         self._thread = threading.Thread(
             target=self._run, name="slam-mapping", daemon=True)
         self._thread.start()
@@ -78,15 +82,24 @@ class AsyncMapping:
             ev, self._events = self._events, []
         return ev
 
+    def pop_errors(self):
+        """Worker exceptions since the last call (each was already logged
+        at catch time).  Streaming sessions poll this at frame boundaries
+        so a crashed mapping task surfaces within one frame instead of
+        only at flush()."""
+        with self._errors_lock:
+            errs, self._errors = self._errors, []
+        return errs
+
     def flush(self, timeout: float = 300.0):
-        """Block until every queued task has completed (and re-raise a
-        worker crash, so tests fail loudly instead of silently losing the
-        mapper)."""
+        """Block until every queued task has completed (and re-raise the
+        first worker crash, so tests fail loudly instead of silently losing
+        the mapper)."""
         if not self._idle.wait(timeout=timeout):
             raise TimeoutError("async mapping worker did not drain")
-        if self._error is not None:
-            err, self._error = self._error, None
-            raise err
+        errs = self.pop_errors()
+        if errs:
+            raise errs[0]
 
     def shutdown(self):
         self._q.put(None)
@@ -100,8 +113,12 @@ class AsyncMapping:
                 break
             try:
                 fn()
-            except Exception as e:     # noqa: BLE001 — surfaced at flush
-                self._error = e
+            except Exception as e:     # noqa: BLE001 — surfaced at the
+                # next frame boundary (pop_errors) or at flush()
+                log.exception("async mapping task failed")
+                with self._errors_lock:
+                    self._errors.append(e)
+                self.stats["n_errors"] += 1
             finally:
                 self.stats["n_processed"] += 1
                 with self._pending_cv:

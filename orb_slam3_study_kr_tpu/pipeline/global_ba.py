@@ -41,19 +41,40 @@ def _padr(a, n, fill=0):
 
 
 def global_bundle_adjustment(cfg, m: MapState, n_iters: int = 10,
-                             cull_outliers: bool = True, mesh=None) -> bool:
+                             cull_outliers: bool = True, mesh=None,
+                             use_lock: bool = False) -> bool:
     """Full-map BA.  Returns False only for degenerate maps.
 
     Gauge: the two oldest keyframes are frozen (the reference fixes the
     origin keyframe; monocular scale needs a second anchor).  With `mesh`
-    (jax.sharding.Mesh) the solve is landmark-sharded across its devices."""
+    (jax.sharding.Mesh) the solve is landmark-sharded across its devices.
+
+    With ``use_lock`` the assembly snapshots the map under ``m.lock``, the
+    LM solve runs lock-free (the tracker thread interleaves), and the
+    write-back re-acquires the lock — propagating the correction to any
+    keyframes/landmarks created DURING the solve through their reference
+    keyframe, the role of RunGlobalBundleAdjustment's spanning-tree
+    mTcwGBA propagation (/root/reference/src/LoopClosing.cc:2345-2413)."""
+    import contextlib
+    lock = m.lock if use_lock else contextlib.nullcontext()
+    with lock:
+        snap = _assemble_gba(cfg, m, mesh)
+    if snap is None:
+        return False
+    out = _solve_gba(cfg, m, mesh, snap, n_iters)
+    with lock:
+        _apply_gba(cfg, m, snap, out, cull_outliers)
+    return True
+
+
+def _assemble_gba(cfg, m: MapState, mesh):
     kfs = np.nonzero(m.kf_valid)[0].astype(np.int32)
     if kfs.size < 3:
-        return False
+        return None
     obs_cnt = m.landmark_obs_count()
     lms = np.nonzero(m.lm_valid & (obs_cnt >= 2))[0].astype(np.int32)
     if lms.size < 20:
-        return False
+        return None
 
     okf, okp, olm = m.observations(kfs)
     sel = np.zeros(m.max_lm, bool)
@@ -87,33 +108,88 @@ def global_bundle_adjustment(cfg, m: MapState, n_iters: int = 10,
     omask = _padr(np.ones(okf.size, np.float32), O)
     our = (_padr(m.kf_kp_ur[okf, okp], O, -1.0) if cfg.bf > 0 else None)
 
+    return dict(kfs=kfs, lms=lms, okf=okf, okp=okp, fixed=fixed,
+                kf_index=kf_index, K=K, M=M,
+                R_all=R_all, t_all=t_all, fixed_p=fixed_p, X=X,
+                lm_mask=lm_mask, op=op, ol=ol, ouv=ouv, olev=olev,
+                omask=omask, our=our,
+                # pre-solve poses for propagating corrections to rows
+                # created during a lock-free solve
+                R_old=m.kf_R[kfs].copy(), t_old=m.kf_t[kfs].copy(),
+                snap_next_kf=m.next_kf, snap_next_lm=m.next_lm)
+
+
+def _solve_gba(cfg, m, mesh, s, n_iters):
+    kfs, lms = s["kfs"], s["lms"]
     if mesh is not None and mesh.devices.size > 1:
-        chi2 = _distributed_gba(cfg, m, mesh, lms, R_all, t_all, fixed_p,
-                                X, lm_mask, op, ol, ouv, olev, omask, our,
-                                kfs, kf_index, n_iters)
+        R, t, X_new, chi2 = _distributed_gba(
+            cfg, m, mesh, lms, s["R_all"], s["t_all"], s["fixed_p"],
+            s["X"], s["lm_mask"], s["op"], s["ol"], s["ouv"], s["olev"],
+            s["omask"], s["our"], kfs, s["kf_index"], n_iters)
     else:
-        assembly = ("dense" if K * M * 18 <= DENSE_CROSS_BLOCK_FLOATS
+        assembly = ("dense" if s["K"] * s["M"] * 18 <= DENSE_CROSS_BLOCK_FLOATS
                     else "pcg")
         stereo_kw = {}
         if cfg.bf > 0:
-            stereo_kw = dict(obs_ur=jnp.asarray(our), bf=jnp.float32(cfg.bf))
+            stereo_kw = dict(obs_ur=jnp.asarray(s["our"]),
+                             bf=jnp.float32(cfg.bf))
         R, t, X_new, chi2, _ = bundle_adjust(
             cfg.project_fn, cfg.project_jac_fn,
-            jnp.asarray(R_all), jnp.asarray(t_all), jnp.asarray(fixed_p),
-            jnp.asarray(X), jnp.asarray(lm_mask),
-            jnp.asarray(op), jnp.asarray(ol), jnp.asarray(ouv),
-            jnp.asarray(olev), jnp.asarray(omask),
+            jnp.asarray(s["R_all"]), jnp.asarray(s["t_all"]),
+            jnp.asarray(s["fixed_p"]),
+            jnp.asarray(s["X"]), jnp.asarray(s["lm_mask"]),
+            jnp.asarray(s["op"]), jnp.asarray(s["ol"]), jnp.asarray(s["ouv"]),
+            jnp.asarray(s["olev"]), jnp.asarray(s["omask"]),
             n_iters=n_iters, assembly=assembly,
             wide_fov=cfg.camera_model == "kb8", **stereo_kw,
         )
-        upd = kfs[fixed == 0]
-        m.kf_R[upd] = np.asarray(R)[kf_index[upd]]
-        m.kf_t[upd] = np.asarray(t)[kf_index[upd]]
-        m.lm_pos[lms] = np.asarray(X_new)[: lms.size]
-        chi2 = np.asarray(chi2)
+        R, t, X_new, chi2 = jax.device_get((R, t, X_new, chi2))
+    return dict(R=np.asarray(R), t=np.asarray(t), X_new=np.asarray(X_new),
+                chi2=np.asarray(chi2))
+
+
+def _apply_gba(cfg, m, s, out, cull_outliers):
+    kfs, lms, okf, okp = s["kfs"], s["lms"], s["okf"], s["okp"]
+    fixed, kf_index = s["fixed"], s["kf_index"]
+    upd = kfs[fixed == 0]
+    upd = upd[m.kf_valid[upd]]           # culled during a lock-free solve
+    m.kf_R[upd] = out["R"][kf_index[upd]]
+    m.kf_t[upd] = out["t"][kf_index[upd]]
+    live = lms[m.lm_valid[lms]]
+    lm_index = np.full(m.max_lm, -1, np.int64)
+    lm_index[lms] = np.arange(lms.size)
+    m.lm_pos[live] = out["X_new"][lm_index[live]]
+
+    # Rows created while the solve ran lock-free: correct through the
+    # newest snapshot keyframe (reference: spanning-tree mTcwGBA
+    # propagation, LoopClosing.cc:2345-2392).  T_child_new =
+    # T_child_old . T_ref_old^-1 . T_ref_new keeps the child's relative
+    # pose to the (moved) map.
+    if m.next_kf > s["snap_next_kf"] or m.next_lm > s["snap_next_lm"]:
+        snap_pos = {int(k): i for i, k in enumerate(kfs)}
+        ref = int(kfs[-1])
+        i = snap_pos[ref]
+        # T_ref_old^-1 . T_ref_new as one rigid correction D.
+        R_d = s["R_old"][i].T @ out["R"][i]
+        t_d = s["R_old"][i].T @ (out["t"][i] - s["t_old"][i])
+        new_kfs = np.arange(s["snap_next_kf"], m.next_kf)
+        new_kfs = new_kfs[m.kf_valid[new_kfs]]
+        for c in new_kfs:
+            m.kf_R[c] = (m.kf_R[c] @ R_d).astype(np.float32)
+            m.kf_t[c] = (m.kf_t[c] + m.kf_R[c] @ (R_d.T @ t_d)).astype(
+                np.float32)
+        new_lms = np.arange(s["snap_next_lm"], m.next_lm)
+        new_lms = new_lms[m.lm_valid[new_lms]]
+        if new_lms.size:
+            # X_new = D^-1 applied in world: push through old ref pose,
+            # pull back through the corrected one.
+            Ro, to = s["R_old"][i], s["t_old"][i]
+            Rn, tn = out["R"][i], out["t"][i]
+            pc = m.lm_pos[new_lms] @ Ro.T + to
+            m.lm_pos[new_lms] = (pc - tn) @ Rn
 
     if cull_outliers:
-        chi2 = chi2[: okf.size]
+        chi2 = out["chi2"][: okf.size]
         if cfg.bf > 0:
             gate = np.where(m.kf_kp_ur[okf, okp] >= 0, CHI2_STEREO, CHI2_MONO)
         else:
@@ -124,13 +200,13 @@ def global_bundle_adjustment(cfg, m: MapState, n_iters: int = 10,
         if orphan.size:
             m.remove_landmarks(orphan)
     m.change_idx += 1
-    return True
 
 
 def _distributed_gba(cfg, m, mesh, lms, R_all, t_all, fixed_p, X, lm_mask,
                      op, ol, ouv, olev, omask, our, kfs, kf_index, n_iters):
-    """Landmark-sharded GBA over the mesh; writes poses/landmarks back and
-    returns per-observation chi2 in the caller's (unsharded) order."""
+    """Landmark-sharded GBA over the mesh; returns (R, t, X in lms order,
+    chi2 in the caller's unsharded order) — the write-back happens in
+    _apply_gba under the map lock."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from orb_slam3_study_kr_tpu.parallel.dist_ba import (
         distributed_bundle_adjust, shard_ba_problem)
@@ -160,19 +236,17 @@ def _distributed_gba(cfg, m, mesh, lms, R_all, t_all, fixed_p, X, lm_mask,
         put(X_sh, shd), put(lmm_sh, shd),
         put(op_sh, shd), put(ol_sh, shd), put(ouv_sh, shd),
         put(olev_sh, shd), put(om_sh, shd),
-        n_iters=n_iters, assembly="pcg",
+        n_iters=n_iters,
+        # Constant-collective assembly while the replicated (6K, 6K)
+        # reduced solve stays cheap; matrix-free PCG beyond that.
+        assembly="dense_chunked" if kfs.size <= 512 else "pcg",
         wide_fov=cfg.camera_model == "kb8", **kw,
     )
-    fixed = np.asarray(fixed_p)[: kfs.size]
-    upd = kfs[fixed == 0]
-    m.kf_R[upd] = np.asarray(R_f)[kf_index[upd]]
-    m.kf_t[upd] = np.asarray(t_f)[kf_index[upd]]
     X_out = np.asarray(X_f)
-    m.lm_pos[lms] = X_out[dev_of_lm[: lms.size] * Mb
-                          + local_of_lm[: lms.size]]
+    X_lms = X_out[dev_of_lm[: lms.size] * Mb + local_of_lm[: lms.size]]
     # Chi2 back to the caller's observation order.
     chi2_sh = np.asarray(chi2_sh)
     chi2 = np.zeros(op.shape[0], np.float32)
     live = obs_slot >= 0
     chi2[obs_slot[live]] = chi2_sh[live]
-    return chi2
+    return np.asarray(R_f), np.asarray(t_f), X_lms, chi2

@@ -34,6 +34,11 @@ from orb_slam3_study_kr_tpu.solvers.robust import CHI2_MONO, CHI2_STEREO
 FRAME_BUCKETS = (64, 256, 1024)
 KF_BUCKETS = (256, 1024, 4096)
 
+# Staged (priorG, priorA) of the 3 IMU-init stages (LocalMapping.cc:
+# 1302-1343; stage 1 at t1, VIBA1 at t2, VIBA2 at t3).  Module-level so
+# the parity audit reads the live schedule.
+IMU_PRIOR_SCHEDULE = {1: (1e2, 1e10), 2: (1.0, 1e5), 3: (0.0, 0.0)}
+
 
 def _bucket_pad(rows, buckets):
     n = rows.shape[0]
@@ -358,7 +363,7 @@ class ImuMixin:
             if len(sel) >= b:
                 sel = sel[-b:]
                 break
-        priors = {1: (1e2, 1e10), 2: (1.0, 1e5), 3: (0.0, 0.0)}[target]
+        priors = IMU_PRIOR_SCHEDULE[target]
         # Starvation deadline: the reference initializes unconditionally on
         # schedule (LocalMapping.cc:187-249); our consistency gate may
         # starve forever on a jittery visual map.  Past t1 + patience,

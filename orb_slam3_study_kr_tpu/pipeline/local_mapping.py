@@ -20,6 +20,12 @@ from orb_slam3_study_kr_tpu.solvers import bundle_adjust
 from orb_slam3_study_kr_tpu.solvers.robust import CHI2_MONO, CHI2_STEREO
 
 
+# MapPointCulling acceptance (LocalMapping.cc:375): recent landmarks
+# matched in under this fraction of the frames that predicted them are
+# dropped.  Module-level so the parity audit reads the live value.
+CULL_FOUND_RATIO = 0.25
+
+
 def _bucket(n, step):
     return max(step, -(-n // step) * step)
 
@@ -112,7 +118,7 @@ class LocalMapper:
                 continue
             ratio = m.lm_found[lm] / max(m.lm_visible[lm], 1)
             age = kf - born
-            if ratio < 0.25:
+            if ratio < CULL_FOUND_RATIO:
                 kill.append(lm)
             elif age >= 2 and obs[lm] <= 2:
                 kill.append(lm)
@@ -165,7 +171,12 @@ class LocalMapper:
             nbs.append(nb)
         if not nbs:
             return None
-        NB = _nb_bucket(len(nbs), (2, 4, 8, 12, self.n_neighbors))
+        # Two bucket sizes only: every (NB, F1, F2) combination is a
+        # separate XLA program, and on this box each program variant costs
+        # seconds of trace+lower+cache-load per process — far more than
+        # the padded FLOPs it saves (profiled round 5: keyframe mean 2.2 s
+        # against a 0.23 s median, all variant tax).
+        NB = _nb_bucket(len(nbs), (8, self.n_neighbors))
         sl = np.asarray(nbs + [0] * (NB - len(nbs)), np.int32)
         # Compact both sides to their FREE (unbound, valid) keypoints,
         # bucketed: the Hamming/epipolar problem is quadratic in keypoint
@@ -173,7 +184,7 @@ class LocalMapper:
         # — compaction cuts the mapper's device FLOPs several-fold.
         free1 = m.kf_kp_valid[kf] & (m.kf_kp_lm[kf] == NO_LM)
         sel1 = np.nonzero(free1)[0]
-        F1 = _nb_bucket(max(sel1.size, 1), (256, 512, m.max_kp))
+        F1 = _nb_bucket(max(sel1.size, 1), (512, m.max_kp))
         sel1p = np.zeros(F1, np.int64)
         sel1p[: sel1.size] = sel1
         mask1 = np.zeros(F1, bool)
@@ -181,7 +192,7 @@ class LocalMapper:
         free2s = m.kf_kp_valid[sl] & (m.kf_kp_lm[sl] == NO_LM)
         free2s[len(nbs):] = False      # padded slots produce no matches
         F2 = _nb_bucket(max(int(free2s.sum(1).max()), 1),
-                        (256, 512, m.max_kp))
+                        (512, m.max_kp))
         sel2p = np.zeros((NB, F2), np.int64)
         mask2 = np.zeros((NB, F2), bool)
         for i in range(NB):
@@ -264,7 +275,15 @@ class LocalMapper:
             return None
         obs = m.landmark_obs_count()
         L = 1024
-        cand = lms_kf[:L]
+        if lms_kf.size > L:
+            # The window is capped at L rows; prefer landmarks not yet
+            # bound in any neighbor (those are the ones fusion can act
+            # on) so the tail is not systematically starved.
+            nb_arr = np.asarray([int(nb) for nb in neighbors])
+            unbound = ~np.isin(lms_kf, m.kf_kp_lm[nb_arr])
+            cand = np.concatenate([lms_kf[unbound], lms_kf[~unbound]])[:L]
+        else:
+            cand = lms_kf
 
         def pad(a, fill=0):
             if a.shape[0] >= L:
@@ -274,7 +293,7 @@ class LocalMapper:
             )
 
         nbs = [int(nb) for nb in neighbors]
-        NB = _nb_bucket(len(nbs), (2, 4, 6, 10))
+        NB = _nb_bucket(len(nbs), (10,))   # one program variant (see above)
         sl = np.asarray(nbs + [0] * (NB - len(nbs)), np.int32)
         base = pad(np.ones(cand.size, np.float32))
         masks = np.zeros((NB, L), np.float32)
@@ -305,22 +324,28 @@ class LocalMapper:
         m = self.map
         for i, nb in enumerate(nbs):
             lm_slot, ok = lm_slot_all[i], ok_all[i]
-            for kp in np.nonzero(ok)[0]:
-                lm_new = int(cand[min(lm_slot[kp], cand.size - 1)])
-                if not m.lm_valid[lm_new]:
+            kps = np.nonzero(ok)[0]
+            if kps.size == 0:
+                continue
+            lm_new = cand[np.minimum(lm_slot[kps], cand.size - 1)]
+            live = m.lm_valid[lm_new]
+            kps, lm_new = kps[live], lm_new[live]
+            lm_old = m.kf_kp_lm[nb, kps]
+            # Free keypoints bind in bulk; only true conflicts loop.
+            free = lm_old == NO_LM
+            m.kf_kp_lm[nb, kps[free]] = lm_new[free]
+            self.stats["n_fused"] += int(free.sum())
+            for kp, ln, lo in zip(kps[~free], lm_new[~free], lm_old[~free]):
+                ln, lo = int(ln), int(lo)
+                if ln == lo or not m.lm_valid[ln] or not m.lm_valid[lo]:
                     continue
-                lm_old = int(m.kf_kp_lm[nb, kp])
-                if lm_old == NO_LM:
-                    m.kf_kp_lm[nb, kp] = lm_new
-                    self.stats["n_fused"] += 1
-                elif lm_old != lm_new and m.lm_valid[lm_old]:
-                    # Keep the landmark with more observations, replace the
-                    # other everywhere (MapPoint::Replace).
-                    from orb_slam3_study_kr_tpu import native
-                    a, b = (lm_new, lm_old) if obs[lm_new] >= obs[lm_old] else (lm_old, lm_new)
-                    native.replace_landmark(m.kf_kp_lm, b, a)
-                    m.lm_valid[b] = False
-                    self.stats["n_fused"] += 1
+                # Keep the landmark with more observations, replace the
+                # other everywhere (MapPoint::Replace).
+                from orb_slam3_study_kr_tpu import native
+                a, b = (ln, lo) if obs[ln] >= obs[lo] else (lo, ln)
+                native.replace_landmark(m.kf_kp_lm, b, a)
+                m.lm_valid[b] = False
+                self.stats["n_fused"] += 1
         m.n_lm = int(m.lm_valid.sum())
         m.update_landmark_stats(lms_kf)
 
@@ -482,8 +507,10 @@ class LocalMapper:
         lm_index = np.full(m.max_lm, -1, np.int64)
         lm_index[lms] = np.arange(lms.size)
 
-        # Bucketed padding to bound recompilation.
-        K = _bucket(all_kf.size, 8)
+        # Bucketed padding to bound recompilation (coarse buckets: each
+        # (K, M, O) combination is a separate multi-second program-variant
+        # cost — see _triangulation_dispatch).
+        K = _bucket(all_kf.size, 16)
         M = _bucket(lms.size, 2048)
         O = _bucket(okf.size, 8192)
 

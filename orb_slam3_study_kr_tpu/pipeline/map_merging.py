@@ -108,17 +108,11 @@ class MapMerger:
     # ------------------------------------------------------------------
     def merge(self, mA: MapState, kf: int, mB: MapState, cand: int,
               sim3) -> MergeResult | None:
-        """Weld active map A into stored map B.  Returns None if B lacks
-        capacity (merge is then skipped rather than truncated)."""
+        """Weld active map A into stored map B.  The target map's tables
+        grow on demand (MapState._ensure_*_capacity), so a merge never
+        has to be refused for capacity."""
         kfsA = np.nonzero(mA.kf_valid)[0]
         lmsA = np.nonzero(mA.lm_valid)[0]
-        # Capacity: both physical slots (monotonic allocators next_kf /
-        # next_lm) and the live-count semantics (n_kf / n_lm) must have
-        # room — a map whose live count already fills max_kf is "full"
-        # even if allocator slots were never touched.
-        if (max(mB.next_kf, mB.n_kf) + kfsA.size > mB.max_kf
-                or max(mB.next_lm, mB.n_lm) + lmsA.size > mB.max_lm):
-            return None
 
         # World transform  X_B = sigma R_BA X_A + t_BA  from
         # T_candB^-1 . S12^-1 . T_kfA  (q_kf = S12(q_cand)).

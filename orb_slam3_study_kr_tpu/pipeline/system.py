@@ -371,8 +371,20 @@ class SlamSystem:
                 np.nonzero(m.kf_valid)[0][-1])
 
     # ------------------------------------------------------------------
+    # Relocalization cascade acceptance (Tracking.cc:3775,3797,3819):
+    RELOC_ACCEPT = 50        # nGood for acceptance
+    RELOC_RETRY_MIN = 30     # narrow re-search only when 30 < nGood < 50
+
     def _relocalize(self, frame) -> bool:
-        """BoW candidates + RANSAC PnP (Tracking::Relocalization)."""
+        """BoW candidates + RANSAC PnP + the reference's widening
+        refinement cascade (Tracking::Relocalization, Tracking.cc:
+        3663-3830): PnP seeds a pose, PoseOptimization counts inliers;
+        below 50 a guided SearchByProjection with a WIDE window
+        (th=10, desc gate 100, :3781) adds matches and re-optimizes;
+        if that lands in (30, 50) a NARROW pass (th=3, gate 64, :3797)
+        runs once more.  The old single-shot path lost exactly the
+        kidnap recoveries where PnP's descriptor-only match set is
+        too thin."""
         if self.db is None:
             return False
         from orb_slam3_study_kr_tpu.ops.track_match import match_by_descriptor
@@ -380,23 +392,30 @@ class SlamSystem:
 
         m = self.atlas.active_map
         cfg = self.cfg.tracker
+        tr = self.tracker
         with m.lock:
             cands = self.db.detect_relocalization_candidates(
                 frame.desc, frame.valid)
+        self._reloc_best = 0
         for kf in cands:
-            bound = m.kf_kp_lm[kf] != NO_LM
-            idx, ok, _ = match_by_descriptor(
-                frame.dev("desc"), frame.dev("valid"),
-                jnp.asarray(m.kf_desc[kf]),
-                jnp.asarray(m.kf_kp_valid[kf] & bound),
-            )
-            idx = np.asarray(idx)
-            ok = np.asarray(ok)
-            if ok.sum() < 15:
-                continue
-            lm = np.where(ok, m.kf_kp_lm[kf][idx], NO_LM)
-            X = m.lm_pos[np.clip(lm, 0, m.max_lm - 1)]
-            mask = (lm != NO_LM) & m.lm_valid[np.clip(lm, 0, m.max_lm - 1)]
+            with m.lock:
+                bound = m.kf_kp_lm[kf] != NO_LM
+                idx, ok, _ = match_by_descriptor(
+                    frame.dev("desc"), frame.dev("valid"),
+                    jnp.asarray(m.kf_desc[kf]),
+                    jnp.asarray(m.kf_kp_valid[kf] & bound),
+                )
+                idx = np.asarray(idx)
+                ok = np.asarray(ok)
+                if ok.sum() < 15:
+                    continue
+                lm = np.where(ok, m.kf_kp_lm[kf][idx], NO_LM)
+                X = m.lm_pos[np.clip(lm, 0, m.max_lm - 1)]
+                mask = (lm != NO_LM) & m.lm_valid[np.clip(lm, 0,
+                                                          m.max_lm - 1)]
+                kf_lms = m.kf_kp_lm[kf]
+                kf_lms = np.unique(kf_lms[kf_lms != NO_LM])
+                kf_lms = kf_lms[m.lm_valid[kf_lms]]
             self._key, sub = jax.random.split(self._key)
             bearings = None
             if cfg.camera_model == "kb8":
@@ -407,13 +426,56 @@ class SlamSystem:
                 frame.dev("level"), jnp.asarray(mask.astype(np.float32)),
                 bearings=bearings,
             )
-            if bool(out["success"]):
-                frame.R_cw = np.asarray(out["R"])
-                frame.t_cw = np.asarray(out["t"])
-                inl = np.asarray(out["inliers"]) & mask
-                frame.kp_lm = np.where(inl, lm, NO_LM).astype(np.int32)
+            if not bool(out["success"]):
+                continue
+            frame.R_cw = np.asarray(out["R"])
+            frame.t_cw = np.asarray(out["t"])
+            inl = np.asarray(out["inliers"]) & mask
+            frame.kp_lm = np.where(inl, lm, NO_LM).astype(np.int32)
+            n_good = tr._optimize_frame_pose(frame, frame.R_cw, frame.t_cw)
+            if n_good < self.RELOC_ACCEPT and kf_lms.size >= 3:
+                # Wide guided re-search around the optimized pose.
+                matched, _, _ = tr._match_against_landmarks(
+                    frame, kf_lms, frame.R_cw, frame.t_cw, th=10.0,
+                    wide_gates=True)
+                free = frame.kp_lm == NO_LM
+                frame.kp_lm = np.where(free, matched,
+                                       frame.kp_lm).astype(np.int32)
+                n_good = tr._optimize_frame_pose(frame, frame.R_cw,
+                                                 frame.t_cw)
+                if self.RELOC_RETRY_MIN < n_good < self.RELOC_ACCEPT:
+                    # Narrow final pass with the twice-refined pose.
+                    matched, _, _ = tr._match_against_landmarks(
+                        frame, kf_lms, frame.R_cw, frame.t_cw, th=3.0,
+                        wide_gates=True)
+                    free = frame.kp_lm == NO_LM
+                    frame.kp_lm = np.where(free, matched,
+                                           frame.kp_lm).astype(np.int32)
+                    n_good = tr._optimize_frame_pose(frame, frame.R_cw,
+                                                     frame.t_cw)
+            if n_good >= self.RELOC_ACCEPT:
                 frame.pose_ok = True
+                self.sys_stats["n_reloc"] = (
+                    self.sys_stats.get("n_reloc", 0) + 1)
                 return True
+            # Accept a thinner PnP-only pose as a last resort only when
+            # no candidate reaches the full acceptance bar — the
+            # single-shot behavior, kept as fallback for sparse synthetic
+            # scenes where 50 inliers cannot exist.
+            if n_good >= 15 and getattr(self, "_reloc_best", 0) < n_good:
+                self._reloc_best = n_good
+                self._reloc_pose = (frame.R_cw.copy(), frame.t_cw.copy(),
+                                    frame.kp_lm.copy())
+        best = getattr(self, "_reloc_best", 0)
+        if best >= 15:
+            R, t, kp_lm = self._reloc_pose
+            frame.R_cw, frame.t_cw, frame.kp_lm = R, t, kp_lm
+            frame.pose_ok = True
+            self._reloc_best = 0
+            self.sys_stats["n_reloc_weak"] = (
+                self.sys_stats.get("n_reloc_weak", 0) + 1)
+            return True
+        self._reloc_best = 0
         return False
 
     # ------------------------------------------------------------------
@@ -495,6 +557,12 @@ class SlamSystem:
         merges (the reference's flag-handshake role)."""
         if self.async_map is None:
             return
+        # A crashed worker task must not be silent until flush(): surface
+        # it on the tracker thread within one frame (it was logged at
+        # catch time; raising here stops tracking against a frozen map).
+        errs = self.async_map.pop_errors()
+        if errs:
+            raise errs[0]
         for kind, payload in self.async_map.drain_events():
             if kind == "loop":
                 # Poses moved under the corrected essential graph; the
@@ -506,7 +574,19 @@ class SlamSystem:
                     continue
                 self.async_map.flush()
                 with mA.lock, mB.lock:
-                    res = self.merger.merge(mA, kf, mB, cand, sim3)
+                    # The Sim3 was estimated at detection time; local BA and
+                    # new keyframes may have moved both maps since.  Re-run
+                    # the verification at apply time so the weld uses a
+                    # transform consistent with the CURRENT poses (a failed
+                    # re-verify drops the merge rather than welding stale).
+                    fresh = self.merger.verify(
+                        mA, kf, mB, cand,
+                        fix_scale=mA.imu_initialized and mB.imu_initialized)
+                    if fresh is None:
+                        self.sys_stats["n_stale_merges"] = (
+                            self.sys_stats.get("n_stale_merges", 0) + 1)
+                        continue
+                    res = self.merger.merge(mA, kf, mB, cand, fresh)
                     if res is not None:
                         self._apply_merge(
                             mA, self.atlas.maps.index(mB), res)

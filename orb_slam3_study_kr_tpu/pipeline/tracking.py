@@ -291,13 +291,16 @@ class MonoTracker:
         pyramid on device when KLT match refinement is enabled)."""
         cfg = self.cfg
         pyr = None
+        # Upload the image in its native dtype (uint8 for real cameras —
+        # 4x less H2D traffic than float32 over the chip link); the
+        # extractor casts on device.
+        img_dev = jnp.asarray(img if np.asarray(img).dtype == np.uint8
+                              else np.asarray(img, np.float32))
         if cfg.klt_refine:
             feats, pyr = orb.extract_orb(
-                jnp.asarray(img, jnp.float32), cfg.orb_config,
-                with_pyramid=True)
+                img_dev, cfg.orb_config, with_pyramid=True)
         else:
-            feats = orb.extract_orb(jnp.asarray(img, jnp.float32),
-                                    cfg.orb_config)
+            feats = orb.extract_orb(img_dev, cfg.orb_config)
         # np.array (not asarray): uv/uv_raw/patch are mutated in place by
         # the KLT refinement, and device->host views are read-only.
         valid_dev = feats.valid
@@ -312,30 +315,32 @@ class MonoTracker:
             uv_dev = feats.uv
         else:
             uv_dev = _undistort(cfg.cam_params, cfg.ideal_params, feats.uv)
-        # ONE batched device->host fetch for the whole per-frame record: on
-        # a remote-attached chip every individual np.asarray pays a full
-        # round trip regardless of size.
-        uv_raw, uv_und, level, angle, response, desc, valid, patch = (
-            jax.device_get((feats.uv, uv_dev, feats.level, feats.angle,
-                            feats.response, feats.desc, valid_dev,
-                            feats.patch)))
-        uv_raw = np.array(uv_raw)
+        # DEFERRED batched fetch: tracked frames consume only the device
+        # mirrors (fused rounds), so the host copies are materialized
+        # lazily — in ONE round trip — the first time something reads
+        # them (keyframe creation, init, relocalization).  np.array (not
+        # asarray): uv/uv_raw/patch are mutated in place by the KLT
+        # refinement, and device->host views are read-only.
+        def fetch(feats=feats, uv_dev=uv_dev, valid_dev=valid_dev):
+            uv_raw, uv_und, level, angle, response, desc, valid, patch = (
+                jax.device_get((feats.uv, uv_dev, feats.level, feats.angle,
+                                feats.response, feats.desc, valid_dev,
+                                feats.patch)))
+            return dict(uv=np.array(uv_und), uv_raw=np.array(uv_raw),
+                        level=level, angle=angle, response=response,
+                        desc=desc, valid=valid, patch=np.array(patch))
+
         frame = Frame(
             frame_id=self.frame_count,
             timestamp=timestamp,
-            uv=np.array(uv_und),
-            level=level,
-            angle=angle,
-            response=response,
-            desc=desc,
-            valid=valid,
-            patch=np.array(patch),
+            n_kp=cfg.orb_config.total_slots,
+            fetch=fetch,
         )
-        frame.uv_raw = uv_raw
         frame.pyr = pyr
         # Keep the extractor's device outputs resident for the jitted
         # match/optimize stages (no per-round re-upload).
         frame.set_dev("uv", uv_dev)
+        frame.set_dev("uv_raw", feats.uv)
         frame.set_dev("level", feats.level)
         frame.set_dev("desc", feats.desc)
         frame.set_dev("valid", valid_dev)
@@ -491,8 +496,30 @@ class MonoTracker:
         return self.lost_counter > self.cfg.fps
 
     # ------------------------------------------------------------------
+    def _update_last_frame(self):
+        """Re-anchor the last frame's pose on its (possibly BA/loop-moved)
+        reference keyframe (Tracking::UpdateLastFrame): without this, a map
+        update between frames makes the frame-to-frame step look like a
+        pose jump — tripping the sanity gate and biasing the velocity
+        model."""
+        lf = self.last_frame
+        m = self.map
+        if (lf is None or not lf.pose_ok
+                or getattr(lf, "rel_ref", -1) < 0):
+            return
+        with m.lock:
+            if m.change_idx == getattr(self, "_last_change_idx", -1):
+                return
+            self._last_change_idx = m.change_idx
+            ref, Rrel, trel = m.resolve_kf(lf.rel_ref, lf.rel_R, lf.rel_t)
+            if ref < 0:
+                return
+            Rr, tr = m.kf_R[ref].copy(), m.kf_t[ref].copy()
+        lf.R_cw, lf.t_cw = _np_se3_compose(Rrel, trel, Rr, tr)
+
     def _track(self, frame: Frame):
         cfg, m = self.cfg, self.map
+        self._update_last_frame()
         ok = False
         if self.velocity is not None and self.last_frame.pose_ok:
             ok = self._track_motion_model(frame)
@@ -1047,7 +1074,7 @@ class MonoTracker:
                 jnp.asarray(frame.kp_lm), jnp.asarray(kp_lm_pos),
                 frame.dev("uv"), frame.dev("level"), frame.dev("desc"),
                 frame.dev("valid"),
-                jnp.asarray(frame.uv_raw), frame.dev("angle"),
+                frame.dev("uv_raw"), frame.dev("angle"),
                 frame.pyr if use_klt else jnp.zeros((1, 2, 2), jnp.float32),
                 self._level_wh if use_klt else jnp.ones((1, 2), jnp.float32),
                 cfg.width, cfg.height, th=th,
@@ -1063,7 +1090,7 @@ class MonoTracker:
                 flow=flow, flow_radius=cfg.flow_anchor_radius,
                 **stereo_kw,
             )
-        uv_dev = out[5][0]
+        uv_dev, uv_raw_dev = out[5][0], out[5][1]
         (R, t, kp_lm, inl, visible,
          (uv_new, uv_raw_new, ur_new, moved), n_flow) = jax.device_get(out)
         if flow is not None:
@@ -1073,11 +1100,13 @@ class MonoTracker:
         frame.t_cw = np.array(t)
         frame.kp_lm = np.array(kp_lm)
         if moved.any():
-            frame.uv_raw[moved] = uv_raw_new[moved]
-            frame.uv[moved] = uv_new[moved]
-            # The program's output IS the frame's new uv — keep the device
-            # handle resident instead of re-uploading next dispatch.
+            # The program returns the FULL updated arrays: install them as
+            # the frame's host copies (no lazy-fetch trigger) and keep the
+            # device handles resident instead of re-uploading next
+            # dispatch.
+            frame.fill_host(uv=np.array(uv_new), uv_raw=np.array(uv_raw_new))
             frame.set_dev("uv", uv_dev)
+            frame.set_dev("uv_raw", uv_raw_dev)
             if frame.u_r is not None and ur_new is not None:
                 frame.u_r[:] = ur_new
         return int(inl.sum()), visible
@@ -1200,9 +1229,13 @@ class MonoTracker:
         with self.timers.stage("mapping/keyframe_bg"):
             mapper.run_once()
         if loop_cb is not None and m is self.map:
+            # The cascade manages its own locking (detection / Sim3 solves
+            # run lock-free; only map mutations take m.lock) so the
+            # tracker is not stalled for the whole detection+GBA duration
+            # (the reference likewise locks the map only for the
+            # correction write-back, LoopClosing.cc:1041).
             with self.timers.stage("loop/detect_correct_bg"):
-                with m.lock:
-                    hit = loop_cb(kf)
+                hit = loop_cb(kf)
             if hit:
                 self.async_map.post_event("loop", kf)
 
@@ -1218,6 +1251,14 @@ class MonoTracker:
             Ri, ti = _np_se3_inverse(np.asarray(Rr), np.asarray(tr))
             Rrel, trel = _np_se3_compose(
                 np.asarray(frame.R_cw), np.asarray(frame.t_cw), Ri, ti)
+            # Keep the frame's pose re-composable against its reference
+            # keyframe (Tracking::UpdateLastFrame, Tracking.cc:2793-2810):
+            # when mapping/loop BA moves the map, the next frame re-anchors
+            # this relative pose on the refined keyframe pose instead of
+            # measuring steps against a stale absolute pose.
+            frame.rel_ref = int(ref)
+            frame.rel_R = Rrel
+            frame.rel_t = trel
             self.trajectory.append(
                 (frame.timestamp, ref, Rrel, trel,
                  self.state, frame.pose_ok, self.map)

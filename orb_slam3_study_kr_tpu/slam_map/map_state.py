@@ -119,11 +119,57 @@ class MapState:
 
     # ---------------- keyframes ----------------
 
+    # -- capacity growth ------------------------------------------------
+    # The reference's containers are unbounded (std::set + new/delete,
+    # KeyFrame.cc); the SoA tables grow geometrically instead of raising,
+    # so arbitrarily long sessions never crash on capacity
+    # (VERDICT round 4 #5).  Ids stay monotonic — growth never re-uses a
+    # slot, so stale ids still fail the validity masks rather than
+    # silently re-binding.  Solver problems are bucket-padded per call, so
+    # growth costs at most one extra program variant per bucket size.
+
+    def _grow(self, names, axis0_new, old):
+        for name in names:
+            a = getattr(self, name)
+            b = np.zeros((axis0_new, *a.shape[1:]), a.dtype)
+            b[:old] = a
+            setattr(self, name, b)
+
+    _KF_TABLES = ("kf_R", "kf_t", "kf_valid", "kf_frame_id", "kf_timestamp",
+                  "kf_kp_uv", "kf_kp_level", "kf_kp_angle", "kf_kp_valid",
+                  "kf_desc", "kf_kp_patch", "kf_kp_ur", "kf_kp_lm", "kf_v",
+                  "kf_bias", "kf_redirect", "kf_redirect_R", "kf_redirect_t")
+    _LM_TABLES = ("lm_pos", "lm_valid", "lm_desc", "lm_patch", "lm_normal",
+                  "lm_min_dist", "lm_max_dist", "lm_first_kf", "lm_visible",
+                  "lm_found")
+
+    def _ensure_kf_capacity(self, n: int = 1):
+        if self.next_kf + n <= self.max_kf:
+            return
+        new = max(self.max_kf * 2, self.next_kf + n)
+        old = self.max_kf
+        self._grow(self._KF_TABLES, new, old)
+        self.kf_R[old:] = np.eye(3, dtype=np.float32)
+        self.kf_redirect_R[old:] = np.eye(3, dtype=np.float32)
+        self.kf_frame_id[old:] = -1
+        self.kf_kp_ur[old:] = -1.0
+        self.kf_kp_lm[old:] = NO_LM
+        self.kf_redirect[old:] = -1
+        self.max_kf = new
+
+    def _ensure_lm_capacity(self, n: int):
+        if self.next_lm + n <= self.max_lm:
+            return
+        new = max(self.max_lm * 2, self.next_lm + n)
+        old = self.max_lm
+        self._grow(self._LM_TABLES, new, old)
+        self.lm_first_kf[old:] = -1
+        self.max_lm = new
+
     def add_keyframe(self, R_cw, t_cw, uv, level, angle, valid, desc,
                      frame_id, timestamp, kp_lm=None, patch=None,
                      ur=None) -> int:
-        if self.next_kf >= self.max_kf:
-            raise RuntimeError("keyframe capacity exhausted")
+        self._ensure_kf_capacity(1)
         i = self.next_kf
         self.next_kf += 1
         self.n_kf += 1
@@ -186,8 +232,7 @@ class MapState:
 
     def add_landmarks(self, positions, descs, first_kf, patches=None) -> np.ndarray:
         n = positions.shape[0]
-        if self.next_lm + n > self.max_lm:
-            raise RuntimeError("landmark capacity exhausted")
+        self._ensure_lm_capacity(n)
         ids = np.arange(self.next_lm, self.next_lm + n)
         self.next_lm += n
         self.lm_valid[ids] = True
@@ -350,11 +395,13 @@ class MapState:
             self.lm_min_dist.dtype)
 
         # Distinctive descriptor: min median Hamming to the co-observations
-        # (packed-bit XOR + byte-LUT popcount).
+        # (packed-bit XOR + hardware popcount — np.bitwise_count on the
+        # uint64 view is ~5x the byte-LUT fancy-indexing this replaced).
         descs = self.kf_desc[kf_t, kp_t]                       # (L, C, 256)
         packed = np.packbits(descs > 0, axis=2)                # (L, C, 32)
-        x = packed[:, :, None, :] ^ packed[:, None, :, :]      # (L, C, C, 32)
-        d = MapState._POPCNT8[x].sum(-1).astype(np.float32)    # (L, C, C)
+        p64 = packed.view(np.uint64)                           # (L, C, 4)
+        x = p64[:, :, None, :] ^ p64[:, None, :, :]            # (L, C, C, 4)
+        d = np.bitwise_count(x).sum(-1).astype(np.float32)     # (L, C, C)
         pair = mask[:, :, None] & mask[:, None, :]
         d[~pair] = np.nan
         import warnings
