@@ -148,3 +148,59 @@ def load_tum_rgbd(root):
     depth_ts, depth_files = read_list("depth.txt")
     return TumRgbdSequence(root=root, rgb_ts=rgb_ts, rgb_files=rgb_files,
                            depth_ts=depth_ts, depth_files=depth_files)
+
+
+@dataclass
+class KittiSequence:
+    """KITTI odometry sequence (gray): <seq>/times.txt + image_0/ (+image_1/
+    for stereo) with 6-digit zero-padded .png frames
+    (/root/reference/Examples/Monocular/mono_kitti.cc:156-185 LoadImages)."""
+    root: str
+    ts: np.ndarray              # (N,) seconds
+    left_files: list
+    right_files: list = None
+    calib: dict = None          # P0/P1... projection rows from calib.txt
+
+    def __len__(self):
+        return len(self.left_files)
+
+    def image(self, i, cam=0):
+        files = self.left_files if cam == 0 else self.right_files
+        return _load_image(files[i])
+
+
+def load_kitti(root):
+    """root: path to the sequence directory (e.g. .../sequences/00)."""
+    times_path = os.path.join(root, "times.txt")
+    ts = []
+    with open(times_path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                ts.append(float(line))
+    ts = np.asarray(ts)
+
+    def frames(sub):
+        d = os.path.join(root, sub)
+        if not os.path.isdir(d):
+            return None
+        return [os.path.join(d, f"{i:06d}.png") for i in range(len(ts))]
+
+    left = frames("image_0")
+    right = frames("image_1")
+
+    # calib.txt: "P0: <12 floats>" per line — the 3x4 projection matrices
+    # the stereo examples derive fx/baseline from.
+    calib = {}
+    calib_path = os.path.join(root, "calib.txt")
+    if os.path.exists(calib_path):
+        with open(calib_path) as f:
+            for line in f:
+                if ":" not in line:
+                    continue
+                key, vals = line.split(":", 1)
+                v = np.asarray([float(x) for x in vals.split()])
+                if v.size == 12:
+                    calib[key.strip()] = v.reshape(3, 4)
+    return KittiSequence(root=root, ts=ts, left_files=left,
+                         right_files=right, calib=calib or None)

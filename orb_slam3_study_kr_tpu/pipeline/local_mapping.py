@@ -71,6 +71,9 @@ class LocalMapper:
     # temporal-window visual-inertial solve replaces the visual local BA
     # (reference LocalMapping.cc:154-160 dispatch).
     inertial_ba: "callable" = None
+    # Optional StageTimers: phases report as mapping/<phase> next to the
+    # tracker's stages in the bench breakdown.
+    timers: object = None
     recent: list = field(default_factory=list)  # (lm_id, created_kf)
     queue: list = field(default_factory=list)
     stats: dict = field(default_factory=lambda: {"n_created": 0, "n_culled": 0,
@@ -87,23 +90,29 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def _process(self, kf: int):
+        import contextlib
         m = self.map
         if m.n_kf < 2:
             return
-        with m.lock:
+        stage = (self.timers.stage if self.timers is not None
+                 else (lambda name: contextlib.nullcontext()))
+        with stage("mapping/cull_recent"), m.lock:
             self._cull_recent(kf)
-        self._create_new_landmarks(kf)
-        self._fuse_neighbors(kf)
+        with stage("mapping/triangulate"):
+            self._create_new_landmarks(kf)
+        with stage("mapping/fuse"):
+            self._fuse_neighbors(kf)
         if m.n_kf >= 3:
-            if self.inertial_ba is not None and m.imu_initialized:
-                with m.lock:
-                    ok = self.inertial_ba(kf)
-                if not ok:
+            with stage("mapping/local_ba"):
+                if self.inertial_ba is not None and m.imu_initialized:
+                    with m.lock:
+                        ok = self.inertial_ba(kf)
+                    if not ok:
+                        self._local_ba(kf)
+                else:
                     self._local_ba(kf)
-            else:
-                self._local_ba(kf)
         if self.enable_kf_culling and m.n_kf >= 5:
-            with m.lock:
+            with stage("mapping/cull_kf"), m.lock:
                 self._cull_keyframes(kf)
 
     # ------------------------------------------------------------------

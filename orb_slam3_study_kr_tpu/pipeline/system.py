@@ -114,6 +114,7 @@ class SlamSystem:
             on_kf_culled=self._on_kf_culled,
         )
         self.tracker = self._build_tracker(m)
+        self.local_mapper.timers = self.tracker.timers
         self.tracker.async_map = self.async_map
         if self.cfg.sensor.endswith("-inertial"):
             # LocalInertialBA replaces visual local BA once the map is

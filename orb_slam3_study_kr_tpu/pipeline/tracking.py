@@ -100,6 +100,14 @@ class TrackerConfig:
     # their PREVIOUS observed position before any pose-gated search.
     flow_anchor: bool = True
     flow_anchor_radius: float = 40.0
+    # Retrieval-anchored refinement: the reference keyframe's original
+    # observations join the pose-free anchor set every frame (see
+    # _fused_round_wide).  Default OFF: measured on lateral synthetic
+    # worlds (3 seeds, round 5) the pose-free windows centered at the
+    # KF-era positions ADMIT aliased matches on self-similar texture and
+    # raise ATE ~60% (0.054 -> 0.094 mean); the channel is kept for
+    # large-displacement recovery experiments only.
+    refkf_anchor: bool = False
     # Run the local-map rounds through the fused single-dispatch program
     # (pipeline/fused_round.py) — same association/solve semantics, one
     # host sync per round instead of one per stage.
@@ -1143,15 +1151,55 @@ class MonoTracker:
                 bound = (lf.kp_lm != NO_LM) & lf.valid
                 bound &= m.lm_valid[np.clip(lf.kp_lm, 0, m.max_lm - 1)]
                 if bound.sum() >= 3:
-                    gid = np.where(bound, lf.kp_lm, NO_LM).astype(np.int32)
-                    cl = np.clip(gid, 0, m.max_lm - 1)
                     row_of = np.full(m.max_lm, -1, np.int32)
                     row_of[cand] = np.arange(cand.size, dtype=np.int32)
-                    flow = (lf.dev("uv"), lf.dev("desc"), lf.dev("angle"),
-                            jnp.asarray(bound), jnp.asarray(gid),
-                            jnp.asarray(m.lm_pos[cl]),
-                            jnp.asarray(row_of[cl]),
-                            jnp.asarray(m.lm_patch[cl]))
+                    gid = np.where(bound, lf.kp_lm, NO_LM).astype(np.int32)
+                    cl = np.clip(gid, 0, m.max_lm - 1)
+                    src_uv = lf.dev("uv")
+                    src_desc = lf.dev("desc")
+                    src_angle = lf.dev("angle")
+                    src_bound = jnp.asarray(bound)
+                    src_gid = jnp.asarray(gid)
+                    src_pos = jnp.asarray(m.lm_pos[cl])
+                    src_row = jnp.asarray(row_of[cl])
+                    src_tmpl = jnp.asarray(m.lm_patch[cl])
+                    # Retrieval-anchored channel (round-4 VERDICT #3): the
+                    # REFERENCE KEYFRAME's original observations join the
+                    # pose-free source set.  Their descriptors/templates
+                    # are frozen at keyframe creation + BA, so this gives
+                    # the per-frame association a drift-free anchor the
+                    # pose-gated selection loop cannot bias — the role of
+                    # SearchByProjection(frame, KF, ...)
+                    # (/root/reference/include/ORBmatcher.h:55), matched
+                    # image-side instead of through the (drifting) pose.
+                    # Last-frame rows come first: first-wins keeps image
+                    # continuity primary on contested keypoints.
+                    if cfg.refkf_anchor and self.ref_kf >= 0:
+                        rk = self.ref_kf
+                        kb = (m.kf_kp_valid[rk]
+                              & (m.kf_kp_lm[rk] != NO_LM))
+                        kgid = np.where(kb, m.kf_kp_lm[rk],
+                                        NO_LM).astype(np.int32)
+                        kb &= m.lm_valid[np.clip(kgid, 0, m.max_lm - 1)]
+                        kcl = np.clip(kgid, 0, m.max_lm - 1)
+                        src_uv = jnp.concatenate(
+                            [src_uv, jnp.asarray(m.kf_kp_uv[rk])])
+                        src_desc = jnp.concatenate(
+                            [src_desc, jnp.asarray(m.kf_desc[rk])])
+                        src_angle = jnp.concatenate(
+                            [src_angle, jnp.asarray(m.kf_kp_angle[rk])])
+                        src_bound = jnp.concatenate(
+                            [src_bound, jnp.asarray(kb)])
+                        src_gid = jnp.concatenate(
+                            [src_gid, jnp.asarray(kgid)])
+                        src_pos = jnp.concatenate(
+                            [src_pos, jnp.asarray(m.lm_pos[kcl])])
+                        src_row = jnp.concatenate(
+                            [src_row, jnp.asarray(row_of[kcl])])
+                        src_tmpl = jnp.concatenate(
+                            [src_tmpl, jnp.asarray(m.kf_kp_patch[rk])])
+                    flow = (src_uv, src_desc, src_angle, src_bound,
+                            src_gid, src_pos, src_row, src_tmpl)
         n, _ = self._exec_fused_rounds(frame, block, blk_mask,
                                        R_pred, t_pred, th=th, level_slack=7,
                                        flow=flow)

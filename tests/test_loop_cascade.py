@@ -211,3 +211,39 @@ def test_scw_composition_roundtrip():
     np.testing.assert_allclose(R_b, R12, atol=1e-5)
     np.testing.assert_allclose(t_b, t12, atol=1e-5)
     np.testing.assert_allclose(s_b, float(s12), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_bow_window_aggregation_recalls_marginal_loop():
+    """Stage-2 matching aggregates over the candidate's covisible window
+    (LoopClosing.cc:620-692): a revisit viewed BETWEEN two first-pass
+    keyframes splits its matches across them, so the window aggregate
+    must strictly beat matching the candidate keyframe alone — the
+    marginal-loop recall the single-KF stage missed (round-4 VERDICT)."""
+    import jax.numpy as jnp
+    from orb_slam3_study_kr_tpu.ops.track_match import match_by_descriptor
+    from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM
+
+    rng = np.random.default_rng(15)
+    # Revisit halfway between the keyframes at 0 and 20 degrees.
+    theta_mid = np.pi / N_FIRST
+    m, _, _ = _build_ring(rng, revisit_thetas=[theta_mid], drift=_drift())
+    lc = _closer(m)
+    kf = m.next_kf - 1              # the revisit keyframe
+    for k in range(N_FIRST):
+        lc.db.add(k, m.kf_desc[k, : m.max_kp], m.kf_kp_valid[k])
+    cands = lc._detect(kf)
+    assert len(cands) > 0
+    cand = int(cands[0])
+
+    kp1, lm2, win = lc._bow_window_match(kf, cand)
+    assert len(win) > 1, "candidate window must include covisibles"
+
+    b1 = m.kf_kp_lm[kf] != NO_LM
+    b2 = m.kf_kp_lm[cand] != NO_LM
+    _, ok, _ = match_by_descriptor(
+        jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_kp_valid[kf] & b1),
+        jnp.asarray(m.kf_desc[cand]), jnp.asarray(m.kf_kp_valid[cand] & b2))
+    single = int(np.asarray(ok).sum())
+    assert kp1.size > single, (kp1.size, single)
+    assert kp1.size >= lc.min_bow_matches

@@ -126,3 +126,25 @@ def test_localization_only_mode(built_system):
         assert int(m.lm_valid.sum()) == n_lm
     finally:
         slam.deactivate_localization_mode()
+
+
+def test_relocalization_cascade_strong_acceptance(built_system):
+    """Kidnapped camera: the widening SearchByProjection re-optimization
+    cascade (Tracking.cc:3781-3797) must reach the reference's FULL
+    50-inlier acceptance — not just the thin PnP-seeded match set the old
+    single-shot path returned (which survives only via the documented
+    weak fallback)."""
+    slam, world, R_gt, t_gt = built_system
+    slam.sys_stats.pop("n_reloc", None)
+    slam.sys_stats.pop("n_reloc_weak", None)
+    # A view from the middle of the mapped span, with no motion-model
+    # continuity (fresh frame, no last-frame state used by _relocalize).
+    frame = _make_frame(slam, world, R_gt[14], t_gt[14], seed=321)
+    ok = slam._relocalize(frame)
+    assert ok, "cascade relocalization failed"
+    assert slam.sys_stats.get("n_reloc", 0) >= 1, (
+        "relocalization only succeeded through the weak PnP fallback; "
+        f"stats={slam.sys_stats}")
+    # The accepted pose must carry a full local-map-grade inlier set.
+    from orb_slam3_study_kr_tpu.slam_map.map_state import NO_LM
+    assert int((frame.kp_lm != NO_LM).sum()) >= 50
