@@ -435,38 +435,64 @@ def build_pyramid(img, cfg: OrbConfig):
     return levels
 
 
-def extract_level(img_l, quota, cfg: OrbConfig):
+def extract_level(img_l, quota, cfg: OrbConfig, use_pallas: bool = False):
     """Dense per-level stage: FAST score, two-threshold NMS, cell select,
-    sub-pixel offsets.  Per-keypoint work (orientation/descriptor/patch)
-    happens once, batched across ALL levels, in extract_orb."""
-    s_raw = fast_score_map(img_l, float(cfg.fast_min_threshold))
-    s20 = jnp.where(s_raw > cfg.fast_threshold, s_raw, 0.0)
-    border = _border_mask(*img_l.shape, EDGE_MARGIN - 3)
-    s7 = jnp.where(border, _nms3x3(s_raw), 0.0)
-    s20 = jnp.where(border, _nms3x3(s20), 0.0)
+    sub-pixel offsets (+ the level's 7x7 blur).  Per-keypoint work
+    (orientation/descriptor/patch) happens once, batched across ALL
+    levels, in extract_orb.
+
+    With use_pallas the score/NMS/blur products come from ONE fused
+    VMEM-resident kernel pass (ops/pallas_fast.py) instead of separate
+    XLA fusions over HBM."""
+    H, W = img_l.shape
+    if use_pallas:
+        from orb_slam3_study_kr_tpu.ops.pallas_fast import (
+            fast_nms_blur_pallas)
+        Wp = -(-W // 128) * 128
+        imgp = jnp.pad(img_l, ((0, 0), (0, Wp - W)))
+        s_raw, s20n, s7n, blurred = fast_nms_blur_pallas(
+            imgp, float(cfg.fast_min_threshold), float(cfg.fast_threshold))
+        s_raw = s_raw[:, :W]
+        border = _border_mask(H, W, EDGE_MARGIN - 3)
+        s7 = jnp.where(border, s7n[:, :W], 0.0)
+        s20 = jnp.where(border, s20n[:, :W], 0.0)
+        blurred = blurred[:, :W]
+    else:
+        s_raw = fast_score_map(img_l, float(cfg.fast_min_threshold))
+        s20 = jnp.where(s_raw > cfg.fast_threshold, s_raw, 0.0)
+        border = _border_mask(H, W, EDGE_MARGIN - 3)
+        s7 = jnp.where(border, _nms3x3(s_raw), 0.0)
+        s20 = jnp.where(border, _nms3x3(s20), 0.0)
+        blurred = gaussian_blur7(img_l)
     xs, ys, resp, valid = select_keypoints(
         s20, s7, quota, cfg.cell_size, cfg.cell_topk
     )
     dxm, dym = subpixel_offset_maps(s_raw)
-    return xs, ys, resp, valid, dxm[ys, xs], dym[ys, xs]
+    return xs, ys, resp, valid, dxm[ys, xs], dym[ys, xs], blurred
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "with_pyramid"))
-def extract_orb(img, cfg: OrbConfig, with_pyramid: bool = False):
+@functools.partial(jax.jit, static_argnames=("cfg", "with_pyramid",
+                                             "use_pallas"))
+def extract_orb(img, cfg: OrbConfig, with_pyramid: bool = False,
+                use_pallas: bool = None):
     """Full-pyramid ORB extraction; one jit, all shapes static.
 
-    TPU-first structure: the dense stages (score/NMS/select) run per
-    level, then every keypoint of every level goes through ONE batched
-    per-keypoint stage — a single superpatch gather from the padded
-    pyramid stacks followed by MXU hat-weight contractions for the
-    rotated-BRIEF bits and the oriented patch (no per-level gather
-    chains; measured several-fold faster than the per-level layout).
+    TPU-first structure: the dense stages run per level — on TPU as ONE
+    fused Pallas VMEM kernel per level (FAST score + dual-threshold NMS +
+    7x7 blur, ops/pallas_fast.py) — then every keypoint of every level
+    goes through ONE batched per-keypoint stage: a single superpatch
+    gather from the padded pyramid stacks followed by MXU hat-weight
+    contractions for the rotated-BRIEF bits and the oriented patch (no
+    per-level gather chains; measured several-fold faster than the
+    per-level layout).
 
     With with_pyramid=True additionally returns the (L, H, W) blurred
     pyramid stack (levels zero-padded to level-0 size) for KLT alignment.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     pyr = build_pyramid(img, cfg)
-    blur = [gaussian_blur7(p) for p in pyr]
+    blur = [None] * cfg.n_levels
     H0, W0 = cfg.height, cfg.width
     xs_l, ys_l, fx_l, fy_l, resp_l, valid_l, lvl_l, uv_l = \
         [], [], [], [], [], [], [], []
@@ -474,7 +500,8 @@ def extract_orb(img, cfg: OrbConfig, with_pyramid: bool = False):
         q = cfg.level_quotas[l]
         if q == 0:
             continue
-        xs, ys, resp, valid, fx, fy = extract_level(pyr[l], q, cfg)
+        xs, ys, resp, valid, fx, fy, blur[l] = extract_level(
+            pyr[l], q, cfg, use_pallas=use_pallas)
         # Pixel-center alignment: level pixel x maps to level-0 coordinate
         # (x + 0.5) * ratio - 0.5 with the *actual* per-axis resize ratio
         # (nominal 1.2^l drifts from the rounded level sizes).  Without this
@@ -497,6 +524,11 @@ def extract_orb(img, cfg: OrbConfig, with_pyramid: bool = False):
     fx = jnp.concatenate(fx_l)
     fy = jnp.concatenate(fy_l)
     lvl = jnp.concatenate(lvl_l)
+
+    # Zero-quota levels still need their blur for the KLT pyramid stack.
+    for l in range(cfg.n_levels):
+        if blur[l] is None:
+            blur[l] = gaussian_blur7(pyr[l])
 
     # Padded pyramid stacks: level images at offset (+R, +R) so a slice
     # starting at (y, x) is the 33x33 window centered on level pixel (y, x).

@@ -90,6 +90,79 @@ def _flow_prologue(flow, kp_lm, kp_lm_pos, lm_mask,
     return kp_lm, kp_lm_pos, lm_mask, (uv_ref, distinct, good), good
 
 
+def _round(matcher, project_fn, project_jac_fn, R, t,
+           lm_pos, lm_normal, lm_min_dist, lm_max_dist, lm_desc, lm_mask,
+           lm_gid, lm_patch,
+           kp_lm, kp_lm_pos,
+           f_uv, f_level, f_desc, f_valid, f_uv_raw, f_angle,
+           pyr, level_wh, width, height,
+           th, nn_ratio, scale_factor, n_levels, level_slack,
+           max_theta_deg, klt_zncc_min, klt_max_shift, klt_distinct_min,
+           wide_fov, use_klt, move_obs, ur, bf, undistort_fn,
+           apply_gate=None):
+    """One complete match -> KLT verify -> bind -> pose-GN round.  With
+    ``apply_gate`` (a traced bool) the round's EFFECTS (bindings, pose,
+    moves, mask consumption) only apply where the gate is True — the
+    in-program form of the split path's 'retry with a wider window only
+    if the first pass found too few matches'."""
+    lm_slot, ok, visible = matcher(
+        project_fn, R, t,
+        lm_pos, lm_normal, lm_min_dist, lm_max_dist, lm_desc, lm_mask,
+        f_uv, f_level, f_desc, f_valid,
+        width, height, th=th, nn_ratio=nn_ratio,
+        scale_factor=scale_factor,
+        n_levels=n_levels, level_slack=level_slack,
+        max_theta_deg=max_theta_deg,
+    )
+    gate = jnp.bool_(True) if apply_gate is None else apply_gate
+    free = kp_lm == NO_LM
+    cand_ok = ok & free & gate
+
+    tmpl = lm_patch[lm_slot]
+    if use_klt:
+        uv_ref, zncc, shift, _win, distinct = klt_refine(
+            pyr, level_wh, f_uv_raw, f_level, f_angle, tmpl, cand_ok,
+            max_shift=klt_max_shift)
+        good = cand_ok & (zncc >= klt_zncc_min) & (shift < klt_max_shift)
+    else:
+        uv_ref = f_uv_raw
+        distinct = jnp.full((f_uv.shape[0],), -1.0, jnp.float32)
+        good = cand_ok
+
+    new_gid = lm_gid[lm_slot]
+    kp_lm_new = jnp.where(good, new_gid, kp_lm)
+    X = jnp.where(good[:, None], lm_pos[lm_slot], kp_lm_pos)
+    bound = (kp_lm_new != NO_LM) & f_valid
+    stereo_kw = {}
+    if ur is not None:
+        stereo_kw = dict(ur_obs=ur, bf=bf)
+    R_new, t_new, inl, _ = optimize_pose(
+        project_fn, project_jac_fn, R, t, X, f_uv, f_level,
+        bound.astype(jnp.float32), wide_fov=wide_fov, **stereo_kw)
+    R = jnp.where(gate, R_new, R)
+    t = jnp.where(gate, t_new, t)
+    inl = inl & bound
+    kp_lm = jnp.where(gate, jnp.where(inl, kp_lm_new, NO_LM), kp_lm
+                      ).astype(kp_lm.dtype)
+    kp_lm_pos = jnp.where(gate, X, kp_lm_pos)
+
+    taken = jnp.zeros(lm_mask.shape[0], lm_mask.dtype).at[lm_slot].max(
+        (good & inl).astype(lm_mask.dtype))
+    lm_mask = lm_mask * (1.0 - taken)
+
+    moved = jnp.zeros(f_uv.shape[0], bool)
+    if use_klt and move_obs:
+        move = good & inl & (distinct >= klt_distinct_min)
+        du = uv_ref[:, 0] - f_uv_raw[:, 0]
+        f_uv_raw = jnp.where(move[:, None], uv_ref, f_uv_raw)
+        f_uv = jnp.where(move[:, None], undistort_fn(f_uv_raw), f_uv)
+        if ur is not None:
+            ur = jnp.where(move & (ur >= 0), ur + du, ur)
+        moved = move
+    return (R, t, kp_lm, kp_lm_pos, inl, lm_mask, visible,
+            f_uv, f_uv_raw, ur, moved, taken)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "project_fn", "project_jac_fn", "undistort_fn", "n_levels",
     "level_slack", "wide_fov", "use_klt", "use_pallas", "n_rounds",
@@ -207,4 +280,121 @@ def fused_track_rounds(
             moved_any = moved_any | move
 
     return (R, t, kp_lm, inl, visible_r1,
+            (f_uv, f_uv_raw, ur, moved_any), n_flow)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "project_fn", "project_jac_fn", "undistort_fn", "n_levels",
+    "wide_fov", "use_klt", "use_pallas", "n_local_rounds", "move_obs"))
+def fused_track_frame(
+    project_fn, project_jac_fn, undistort_fn,
+    R0, t0,
+    lm_pos, lm_desc, lm_gid, lm_patch,               # (L, ...) combined block
+    lm_normal, lm_min_dist, lm_max_dist,             # real gates (local)
+    lm_normal_w, lm_min_w, lm_max_w,                 # wide-gate variant (MM)
+    mask_all, mask_wide,                             # (L,)
+    kp_lm, kp_lm_pos,
+    f_uv, f_level, f_desc, f_valid, f_uv_raw, f_angle,
+    pyr, level_wh,
+    width, height,
+    min_track_matches,
+    th_wide=3.0, th_wide_retry=6.0, th_local=1.0,
+    nn_ratio=0.8, scale_factor=1.2, n_levels=8,
+    wide_slack=7, local_slack=1,
+    max_theta_deg=None,
+    klt_zncc_min=0.5, klt_max_shift=3.0, klt_distinct_min=0.15,
+    wide_fov=False, use_klt=True, use_pallas=False,
+    n_local_rounds=2, move_obs=True,
+    ur_obs=None, bf=None,
+    flow=None, flow_radius=40.0,
+):
+    """The WHOLE per-frame tracking slice in ONE program: flow-anchor
+    prologue, motion-model round (wide gates over the last frame's
+    landmark rows, with an in-program widened retry applied only when the
+    first pass bound too few), then ``n_local_rounds`` track-local-map
+    rounds over the full candidate block — the split path's
+    _track_motion_model + _track_local_map sequence with a single
+    dispatch + a single fetched result cluster.
+
+    The local candidate block (and the reference-keyframe choice) comes
+    from the LAST frame's bindings rather than this frame's motion-model
+    result — a one-frame lag in local-map selection; image continuity
+    makes the sets near-identical, and the inlier gate on the fetch
+    routes genuinely changed frames to the split fallback."""
+    matcher = (track_match.match_local_map_pallas if use_pallas
+               else track_match.match_local_map)
+    R, t = R0, t0
+    ur = ur_obs
+    moved_any = jnp.zeros(f_uv.shape[0], bool)
+    n_flow = jnp.int32(0)
+    mask_w = mask_wide
+    mask_l = mask_all
+
+    if flow is not None:
+        kp_lm, kp_lm_pos, mask_l, (fl_uv_ref, fl_distinct, fl_good), took = \
+            _flow_prologue(flow, kp_lm, kp_lm_pos, mask_l,
+                           f_uv, f_level, f_desc, f_valid, f_uv_raw,
+                           f_angle, pyr, level_wh, use_klt,
+                           klt_zncc_min, klt_max_shift, flow_radius)
+        n_flow = took.sum().astype(jnp.int32)
+        if use_klt and move_obs:
+            move = fl_good & (fl_distinct >= klt_distinct_min)
+            du = fl_uv_ref[:, 0] - f_uv_raw[:, 0]
+            f_uv_raw = jnp.where(move[:, None], fl_uv_ref, f_uv_raw)
+            f_uv = jnp.where(move[:, None], undistort_fn(f_uv_raw), f_uv)
+            if ur is not None:
+                ur = jnp.where(move & (ur >= 0), ur + du, ur)
+            moved_any = moved_any | move
+
+    common = dict(
+        nn_ratio=nn_ratio, scale_factor=scale_factor, n_levels=n_levels,
+        max_theta_deg=max_theta_deg, klt_zncc_min=klt_zncc_min,
+        klt_max_shift=klt_max_shift, klt_distinct_min=klt_distinct_min,
+        wide_fov=wide_fov, use_klt=use_klt, move_obs=move_obs,
+        undistort_fn=undistort_fn)
+
+    def run(Rc, tc, kp_lm, kp_lm_pos, mask, wide, th, slack, f_uv,
+            f_uv_raw, ur, gate=None):
+        gates = ((lm_normal_w, lm_min_w, lm_max_w) if wide
+                 else (lm_normal, lm_min_dist, lm_max_dist))
+        return _round(matcher, project_fn, project_jac_fn, Rc, tc,
+                      lm_pos, *gates, lm_desc, mask, lm_gid, lm_patch,
+                      kp_lm, kp_lm_pos,
+                      f_uv, f_level, f_desc, f_valid, f_uv_raw, f_angle,
+                      pyr, level_wh, width, height,
+                      th, level_slack=slack, ur=ur, bf=bf,
+                      apply_gate=gate, **common)
+
+    # Motion-model round (wide gates over the wide-eligible rows), with
+    # the in-program th retry.  Rows bound by ANY round leave the SHARED
+    # mask via `taken`.
+    (R, t, kp_lm, kp_lm_pos, inl, _mw, _vis, f_uv, f_uv_raw, ur,
+     mv, taken) = run(R, t, kp_lm, kp_lm_pos, mask_l * mask_w, True,
+                      th_wide, wide_slack, f_uv, f_uv_raw, ur)
+    mask_l = mask_l * (1.0 - taken)
+    moved_any = moved_any | mv
+    n_bound = (kp_lm != NO_LM).sum()
+    need_retry = n_bound < min_track_matches
+    # The split path's widened retry RESTARTS from the predicted pose
+    # (a failed narrow pass may have solved into a bad basin).
+    R_r = jnp.where(need_retry, R0, R)
+    t_r = jnp.where(need_retry, t0, t)
+    (R, t, kp_lm, kp_lm_pos, inl, _mw, _vis, f_uv, f_uv_raw, ur,
+     mv, taken) = run(R_r, t_r, kp_lm, kp_lm_pos, mask_l * mask_w, True,
+                      th_wide_retry, wide_slack, f_uv, f_uv_raw, ur,
+                      gate=need_retry)
+    mask_l = mask_l * (1.0 - taken)
+    moved_any = moved_any | mv
+    n_mm = (kp_lm != NO_LM).sum()
+
+    visible_r1 = None
+    for _ in range(n_local_rounds):
+        (R, t, kp_lm, kp_lm_pos, inl, mask_l, vis, f_uv, f_uv_raw, ur,
+         mv, _tk) = run(R, t, kp_lm, kp_lm_pos, mask_l, False, th_local,
+                        local_slack, f_uv, f_uv_raw, ur)
+        moved_any = moved_any | mv
+        if visible_r1 is None:
+            visible_r1 = vis
+
+    return (R, t, kp_lm, inl, visible_r1, n_mm,
             (f_uv, f_uv_raw, ur, moved_any), n_flow)

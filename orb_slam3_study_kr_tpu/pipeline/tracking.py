@@ -112,6 +112,9 @@ class TrackerConfig:
     # (pipeline/fused_round.py) — same association/solve semantics, one
     # host sync per round instead of one per stage.
     fused_rounds: bool = True
+    # Whole-frame fused slice (flow + motion model + local rounds in ONE
+    # dispatch); falls back to the split path on low inliers.
+    fused_frame: bool = True
     seed: int = 0
 
     @functools.cached_property
@@ -529,7 +532,24 @@ class MonoTracker:
         cfg, m = self.cfg, self.map
         self._update_last_frame()
         ok = False
-        if self.velocity is not None and self.last_frame.pose_ok:
+        n_inliers = -1
+        # Whole-frame fused slice: flow anchor + motion model (+ retry) +
+        # both local-map rounds in ONE dispatch/fetch.  Falls back to the
+        # split path when the frame genuinely diverges (few inliers).
+        fused_frame = False
+        if (cfg.fused_frame and self.velocity is not None
+                and self.last_frame.pose_ok and self._use_fused_rounds()):
+            n_inliers = self._track_fused_frame(frame)
+            if n_inliers is not None and n_inliers >= cfg.min_local_inliers:
+                ok = True
+                fused_frame = True
+            else:
+                if n_inliers is not None:
+                    self.stats["fused_frame_fallback"] = (
+                        self.stats.get("fused_frame_fallback", 0) + 1)
+                n_inliers = -1
+                frame.kp_lm = np.full(frame.kp_lm.shape[0], NO_LM, np.int32)
+        if not ok and self.velocity is not None and self.last_frame.pose_ok:
             ok = self._track_motion_model(frame)
             if not ok:
                 self.stats["mm_fail"] += 1
@@ -563,7 +583,8 @@ class MonoTracker:
             return
         self.lost_counter = 0
 
-        n_inliers = self._track_local_map(frame)
+        if not fused_frame:
+            n_inliers = self._track_local_map(frame)
         if n_inliers < cfg.min_local_inliers:
             self.stats["local_fail"] += 1
             self.state = TrackState.RECENTLY_LOST
@@ -1048,6 +1069,162 @@ class MonoTracker:
             lm_gid=jnp.asarray(gid),
         )
         return block, blk_mask, cand
+
+    def _track_fused_frame(self, frame: Frame):
+        """The whole per-frame tracking slice in ONE dispatch + ONE fetch
+        (pipeline/fused_round.fused_track_frame): flow anchor + motion
+        model (with in-program widened retry) + both local-map rounds.
+
+        The local-map candidate block and reference-keyframe choice come
+        from the LAST frame's bindings (one-frame lag vs the split path's
+        post-motion-model selection — image continuity makes the sets
+        near-identical); the caller falls back to the split path when
+        the fetch reports too few inliers.  Returns the inlier count, or
+        None when the fused slice is not applicable this frame."""
+        from orb_slam3_study_kr_tpu.pipeline.fused_round import (
+            fused_track_frame)
+        cfg, m = self.cfg, self.map
+        lf = self.last_frame
+        R_pred, t_pred = self._predict_pose()
+        use_klt = cfg.klt_refine and frame.pyr is not None
+        L = cfg.local_map_size
+        use_pallas = (jax.default_backend() == "tpu"
+                      and L % 256 == 0 and L * 512 < 2 ** 24)
+        with m.lock:
+            kp, lms = lf.bound_obs()
+            lm_ids = np.unique(lms)
+            lm_ids = lm_ids[m.lm_valid[lm_ids]]
+            if lm_ids.size < 3:
+                return None
+            if cfg.mm_mature_only:
+                obs = m.landmark_obs_count()
+                mature = lm_ids[obs[lm_ids] >= 3]
+                if mature.size >= 2 * cfg.min_track_matches:
+                    lm_ids = mature
+            # Local keyframes from the LAST frame's landmarks
+            # (UpdateLocalKeyFrames K1+K2, one frame behind).
+            seen = np.zeros(m.max_lm, bool)
+            seen[lm_ids] = True
+            obs_count = (seen[m.kf_kp_lm] & (m.kf_kp_lm != NO_LM)).sum(
+                axis=1)
+            obs_count[~m.kf_valid] = 0
+            k1 = np.nonzero(obs_count > 0)[0]
+            if k1.size == 0:
+                return None
+            self.ref_kf = int(k1[np.argmax(obs_count[k1])])
+            frame.ref_kf = self.ref_kf
+            local_kfs = set(k1.tolist())
+            for kf_i in k1[np.argsort(-obs_count[k1])][:10]:
+                nb, _ = m.covisibility(int(kf_i), min_shared=15)
+                local_kfs.update(nb[:10].tolist())
+            local_kfs = np.fromiter(local_kfs, np.int32)
+            order = local_kfs[np.argsort(-obs_count[local_kfs],
+                                         kind="stable")]
+            seen_lm = np.zeros(m.max_lm, bool)
+            seen_lm[lm_ids] = True
+            chunks = [lm_ids.astype(np.int32)]  # wide rows first: never
+            for kf_i in order:                  # truncated out of the block
+                c = m.kf_kp_lm[kf_i]
+                c = c[c != NO_LM]
+                c = c[~seen_lm[c]]
+                seen_lm[c] = True
+                chunks.append(c)
+            cand = np.concatenate(chunks)
+            cand = cand[m.lm_valid[cand]][:L]
+
+            pos = m.lm_pos[cand]
+            center = -R_pred.T @ t_pred
+            vec = pos - center
+            nrm = vec / np.maximum(
+                np.linalg.norm(vec, axis=1, keepdims=True), 1e-9)
+            gid = np.full(L, NO_LM, np.int32)
+            gid[: cand.size] = cand
+            mask_all = _pad_rows(np.ones(cand.size, np.float32), L)
+            in_wide = np.zeros(L, np.float32)
+            in_wide[: cand.size] = np.isin(cand, lm_ids).astype(np.float32)
+            row_of = np.full(m.max_lm, -1, np.int32)
+            row_of[cand] = np.arange(cand.size, dtype=np.int32)
+
+            flow = None
+            if cfg.flow_anchor:
+                bound = (lf.kp_lm != NO_LM) & lf.valid
+                bound &= m.lm_valid[np.clip(lf.kp_lm, 0, m.max_lm - 1)]
+                if bound.sum() >= 3:
+                    fgid = np.where(bound, lf.kp_lm, NO_LM).astype(np.int32)
+                    cl = np.clip(fgid, 0, m.max_lm - 1)
+                    flow = (lf.dev("uv"), lf.dev("desc"), lf.dev("angle"),
+                            jnp.asarray(bound), jnp.asarray(fgid),
+                            jnp.asarray(m.lm_pos[cl]),
+                            jnp.asarray(row_of[cl]),
+                            jnp.asarray(m.lm_patch[cl]))
+
+            stereo_kw = {}
+            if cfg.bf > 0 and frame.u_r is not None:
+                stereo_kw = dict(ur_obs=jnp.asarray(frame.u_r),
+                                 bf=jnp.float32(cfg.bf))
+            out = fused_track_frame(
+                cfg.project_fn, cfg.project_jac_fn, cfg.undistort_px_fn,
+                jnp.asarray(R_pred), jnp.asarray(t_pred),
+                jnp.asarray(_pad_rows(pos, L)),
+                jnp.asarray(_pad_rows(m.lm_desc[cand], L)),
+                jnp.asarray(gid),
+                jnp.asarray(_pad_rows(m.lm_patch[cand], L)),
+                jnp.asarray(_pad_rows(m.lm_normal[cand], L)),
+                jnp.asarray(_pad_rows(m.lm_min_dist[cand], L)),
+                jnp.asarray(_pad_rows(m.lm_max_dist[cand], L)),
+                jnp.asarray(_pad_rows(nrm.astype(np.float32), L)),
+                jnp.zeros(L, jnp.float32),
+                jnp.full((L,), 1e6, jnp.float32),
+                jnp.asarray(mask_all), jnp.asarray(in_wide),
+                jnp.asarray(frame.kp_lm),
+                jnp.zeros((frame.kp_lm.shape[0], 3), jnp.float32),
+                frame.dev("uv"), frame.dev("level"), frame.dev("desc"),
+                frame.dev("valid"), frame.dev("uv_raw"),
+                frame.dev("angle"),
+                frame.pyr if use_klt else jnp.zeros((1, 2, 2), jnp.float32),
+                self._level_wh if use_klt else jnp.ones((1, 2), jnp.float32),
+                cfg.width, cfg.height,
+                jnp.int32(cfg.min_track_matches),
+                scale_factor=cfg.orb_scale_factor,
+                n_levels=cfg.orb_n_levels,
+                max_theta_deg=cfg.max_theta_deg,
+                klt_zncc_min=cfg.klt_zncc_min,
+                klt_max_shift=cfg.klt_max_shift,
+                klt_distinct_min=cfg.klt_distinct_min,
+                wide_fov=cfg.camera_model == "kb8",
+                use_klt=use_klt, use_pallas=use_pallas,
+                move_obs=cfg.klt_move_obs,
+                flow=flow, flow_radius=cfg.flow_anchor_radius,
+                **stereo_kw,
+            )
+        uv_dev, uv_raw_dev = out[6][0], out[6][1]
+        (R, t, kp_lm, inl, visible, n_mm,
+         (uv_new, uv_raw_new, ur_new, moved), n_flow) = jax.device_get(out)
+        if int(n_mm) < cfg.min_track_matches:
+            # The split path's motion-model gate: a frame whose wide
+            # rounds could not bind enough matches must go through the
+            # reference-keyframe fallback, not a local solve around a
+            # weak pose.
+            return None
+        if flow is not None:
+            self.stats["flow_anchor_matches"] = (
+                self.stats.get("flow_anchor_matches", 0) + int(n_flow))
+        frame.R_cw = np.array(R)
+        frame.t_cw = np.array(t)
+        frame.kp_lm = np.array(kp_lm)
+        if moved.any():
+            frame.fill_host(uv=np.array(uv_new),
+                            uv_raw=np.array(uv_raw_new))
+            frame.set_dev("uv", uv_dev)
+            frame.set_dev("uv_raw", uv_raw_dev)
+            if frame.u_r is not None and ur_new is not None:
+                frame.u_r[:] = ur_new
+        with m.lock:
+            vis = visible[: cand.size]
+            m.lm_visible[cand[vis]] += 1
+            _, lms_after = frame.bound_obs()
+            m.lm_found[lms_after] += 1
+        return int(inl.sum())
 
     def _exec_fused_rounds(self, frame, block, blk_mask, R0, t0, th,
                            level_slack, n_rounds=1, flow=None):
