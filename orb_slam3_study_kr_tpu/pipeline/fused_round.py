@@ -38,7 +38,7 @@ from orb_slam3_study_kr_tpu.solvers.pose_opt import optimize_pose
 _BIG = jnp.int32(1 << 30)
 
 
-def _flow_prologue(flow, kp_lm, kp_lm_pos, lm_mask,
+def _flow_prologue(flow, blk_pos, blk_patch, kp_lm, kp_lm_pos, lm_mask,
                    f_uv, f_level, f_desc, f_valid, f_uv_raw, f_angle,
                    pyr, level_wh, use_klt,
                    klt_zncc_min, klt_max_shift, flow_radius):
@@ -46,9 +46,18 @@ def _flow_prologue(flow, kp_lm, kp_lm_pos, lm_mask,
     pose-free windowed descriptor match of the LAST frame's bound features
     against the current frame, first-wins on contested keypoints, KLT
     photometric verification, then bind.  Returns updated
-    (kp_lm, kp_lm_pos, lm_mask, klt outputs for the move write-back)."""
-    (lf_uv, lf_desc, lf_angle, lf_bound, lf_gid, lf_pos, lf_row,
-     lf_tmpl) = flow
+    (kp_lm, kp_lm_pos, lm_mask, klt outputs for the move write-back).
+
+    The last frame's landmark positions/templates are NOT uploaded: the
+    flow tuple carries each bound feature's ROW in the candidate block
+    (host-side row_of table) and the position/patch are gathered from the
+    block on device — bindings between block rebuilds are always block
+    members, so the row lookup is total (rows < 0 are masked out)."""
+    (lf_uv, lf_desc, lf_angle, lf_bound, lf_gid, lf_row) = flow
+    lf_bound = lf_bound & (lf_row >= 0)
+    row_cl = jnp.clip(lf_row, 0, blk_pos.shape[0] - 1)
+    lf_pos = blk_pos[row_cl]
+    lf_tmpl = blk_patch[row_cl]
     idx, ok, _ = matching.search_for_initialization(
         lf_uv, lf_desc, lf_angle, lf_bound,
         f_uv, f_desc, f_angle, f_valid,
@@ -209,7 +218,7 @@ def fused_track_rounds(
 
     if flow is not None:
         kp_lm, kp_lm_pos, lm_mask, (fl_uv_ref, fl_distinct, fl_good), took = \
-            _flow_prologue(flow, kp_lm, kp_lm_pos, lm_mask,
+            _flow_prologue(flow, lm_pos, lm_patch, kp_lm, kp_lm_pos, lm_mask,
                            f_uv, f_level, f_desc, f_valid, f_uv_raw,
                            f_angle, pyr, level_wh, use_klt,
                            klt_zncc_min, klt_max_shift, flow_radius)
@@ -291,7 +300,6 @@ def fused_track_frame(
     R0, t0,
     lm_pos, lm_desc, lm_gid, lm_patch,               # (L, ...) combined block
     lm_normal, lm_min_dist, lm_max_dist,             # real gates (local)
-    lm_normal_w, lm_min_w, lm_max_w,                 # wide-gate variant (MM)
     mask_all, mask_wide,                             # (L,)
     kp_lm, kp_lm_pos,
     f_uv, f_level, f_desc, f_valid, f_uv_raw, f_angle,
@@ -329,10 +337,20 @@ def fused_track_frame(
     n_flow = jnp.int32(0)
     mask_w = mask_wide
     mask_l = mask_all
+    # Wide (frame-to-frame) gates are synthesized in-program from the
+    # PREDICTED camera center: a normal pointing at the camera and an
+    # unbounded distance band — so the uploaded block is pose-free and
+    # cacheable across frames.
+    center = -R0.T @ t0
+    vecw = lm_pos - center
+    lm_normal_w = vecw / jnp.maximum(
+        jnp.linalg.norm(vecw, axis=1, keepdims=True), 1e-9)
+    lm_min_w = jnp.zeros(lm_pos.shape[0], jnp.float32)
+    lm_max_w = jnp.full(lm_pos.shape[0], 1e6, jnp.float32)
 
     if flow is not None:
         kp_lm, kp_lm_pos, mask_l, (fl_uv_ref, fl_distinct, fl_good), took = \
-            _flow_prologue(flow, kp_lm, kp_lm_pos, mask_l,
+            _flow_prologue(flow, lm_pos, lm_patch, kp_lm, kp_lm_pos, mask_l,
                            f_uv, f_level, f_desc, f_valid, f_uv_raw,
                            f_angle, pyr, level_wh, use_klt,
                            klt_zncc_min, klt_max_shift, flow_radius)

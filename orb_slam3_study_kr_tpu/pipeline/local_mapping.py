@@ -143,21 +143,28 @@ class LocalMapper:
     # ------------------------------------------------------------------
     def _create_new_landmarks(self, kf: int):
         m = self.map
+        # Snapshot numpy inputs under the lock; trace/upload/dispatch and
+        # fetch OUTSIDE it — a new shape-bucket variant costs seconds of
+        # trace+lower per process, and holding the map lock through that
+        # stalls the tracker for the whole duration (round-5 profiling:
+        # multi-second _update_last_frame waits).
         with m.lock:
-            pending = self._triangulation_dispatch(kf)
+            pending = self._triangulation_prepare(kf)
         if pending is None:
             return
-        nbs, (out, sel1p, sel2p) = pending
-        # Fetch OUTSIDE the lock: the tracker interleaves here.
+        nbs, call_args, sel1p, sel2p = pending
+        out = self._triangulation_dispatch(call_args)
         good, idx2, X = jax.device_get((out["good"], out["idx2"], out["X"]))
         with m.lock:
             self._triangulation_apply(kf, nbs, good, idx2, X, sel1p, sel2p)
 
-    def _triangulation_dispatch(self, kf: int):
+    def _triangulation_prepare(self, kf: int):
         """ALL neighbors' matching+triangulation in ONE batched program
         (vmap over the neighbor axis): one dispatch + one fetch instead of
         a per-neighbor program chain; the neighbor count is bucketed and
-        padded with no-match rows to bound recompilation."""
+        padded with no-match rows to bound recompilation.  This half only
+        gathers numpy snapshots (call it under the map lock); the traced
+        call happens in _triangulation_dispatch outside it."""
         cfg, m = self.cfg, self.map
         neighbors, _ = m.covisibility(kf, min_shared=10)
         neighbors = neighbors[: self.n_neighbors]
@@ -208,24 +215,34 @@ class LocalMapper:
             s = np.nonzero(free2s[i])[0][:F2]
             sel2p[i, : s.size] = s
             mask2[i, : s.size] = True
-        uv_a = jnp.asarray(m.kf_kp_uv[kf, sel1p])
-        uv2s = jnp.asarray(m.kf_kp_uv[sl[:, None], sel2p])
-        out = triangulation_match.match_and_triangulate_batch(
-            jnp.asarray(m.kf_R[kf]), jnp.asarray(m.kf_t[kf]),
-            jnp.asarray(m.kf_R[sl]), jnp.asarray(m.kf_t[sl]),
+        call_args = (
+            m.kf_R[kf].copy(), m.kf_t[kf].copy(),
+            m.kf_R[sl], m.kf_t[sl],
+            m.kf_kp_uv[kf, sel1p], m.kf_kp_uv[sl[:, None], sel2p],
+            m.kf_kp_level[kf, sel1p], m.kf_desc[kf, sel1p], mask1,
+            m.kf_kp_level[sl[:, None], sel2p], m.kf_desc[sl[:, None], sel2p],
+            mask2,
+            m.kf_kp_angle[kf, sel1p], m.kf_kp_angle[sl[:, None], sel2p],
+        )
+        return nbs, call_args, sel1p, sel2p
+
+    def _triangulation_dispatch(self, call_args):
+        """Upload + trace + dispatch half (outside the map lock)."""
+        cfg = self.cfg
+        (R1, t1, R2s, t2s, uv_a, uv2s, lev1, desc1, mask1,
+         lev2, desc2, mask2, ang1, ang2) = call_args
+        uv_a = jnp.asarray(uv_a)
+        uv2s = jnp.asarray(uv2s)
+        return triangulation_match.match_and_triangulate_batch(
+            jnp.asarray(R1), jnp.asarray(t1),
+            jnp.asarray(R2s), jnp.asarray(t2s),
             cfg.project_fn, jnp.float32(cfg.focal),
             uv_a, cfg.unproject_fn(uv_a),
-            jnp.asarray(m.kf_kp_level[kf, sel1p]),
-            jnp.asarray(m.kf_desc[kf, sel1p]),
-            jnp.asarray(mask1),
+            jnp.asarray(lev1), jnp.asarray(desc1), jnp.asarray(mask1),
             uv2s, cfg.unproject_fn(uv2s),
-            jnp.asarray(m.kf_kp_level[sl[:, None], sel2p]),
-            jnp.asarray(m.kf_desc[sl[:, None], sel2p]),
-            jnp.asarray(mask2),
-            jnp.asarray(m.kf_kp_angle[kf, sel1p]),
-            jnp.asarray(m.kf_kp_angle[sl[:, None], sel2p]),
+            jnp.asarray(lev2), jnp.asarray(desc2), jnp.asarray(mask2),
+            jnp.asarray(ang1), jnp.asarray(ang2),
         )
-        return nbs, (out, sel1p, sel2p)
 
     def _triangulation_apply(self, kf: int, nbs, good_all, idx2_all, X_all,
                              sel1p, sel2p):
@@ -263,18 +280,21 @@ class LocalMapper:
         favor of the landmark with more observations."""
         m = self.map
         with m.lock:
-            state = self._fuse_dispatch(kf)
+            state = self._fuse_prepare(kf)
         if state is None:
             return
-        nbs, cand, out, lms_kf, obs = state
+        nbs, cand, call_args, lms_kf, obs = state
+        out = self._fuse_dispatch(call_args)
         lm_slot, ok = jax.device_get(out)
         with m.lock:
             self._fuse_apply(nbs, cand, lm_slot, ok, lms_kf, obs)
 
-    def _fuse_dispatch(self, kf: int):
+    def _fuse_prepare(self, kf: int):
         """ALL neighbors' fusion matching in ONE batched program: the
         keyframe's landmark block is shared, each neighbor gets its own
-        exclusion mask row (landmarks it already binds)."""
+        exclusion mask row (landmarks it already binds).  Numpy snapshot
+        half (under the map lock); the traced call runs lock-free in
+        _fuse_dispatch."""
         cfg, m = self.cfg, self.map
         neighbors, _ = m.covisibility(kf, min_shared=10)
         neighbors = neighbors[:10]
@@ -311,20 +331,31 @@ class LocalMapper:
                 np.pad(cand, (0, L - cand.size)), m.kf_kp_lm[nb])
         valids = m.kf_kp_valid[sl].copy()
         valids[len(nbs):] = False      # padded slots produce no matches
+        call_args = (
+            m.kf_R[sl], m.kf_t[sl],
+            pad(m.lm_pos[cand]), pad(m.lm_normal[cand]),
+            pad(m.lm_min_dist[cand]), pad(m.lm_max_dist[cand]),
+            pad(m.lm_desc[cand]), masks,
+            m.kf_kp_uv[sl], m.kf_kp_level[sl], m.kf_desc[sl], valids,
+        )
+        return nbs, cand, call_args, lms_kf, obs
+
+    def _fuse_dispatch(self, call_args):
+        """Upload + trace + dispatch half (outside the map lock)."""
+        cfg = self.cfg
+        (Rs, ts, pos, normal, min_d, max_d, desc, masks,
+         uv, lev, fdesc, valids) = call_args
         out = track_match.match_local_map_batch(
-            cfg.project_fn, jnp.asarray(m.kf_R[sl]), jnp.asarray(m.kf_t[sl]),
-            jnp.asarray(pad(m.lm_pos[cand])),
-            jnp.asarray(pad(m.lm_normal[cand])),
-            jnp.asarray(pad(m.lm_min_dist[cand])),
-            jnp.asarray(pad(m.lm_max_dist[cand])),
-            jnp.asarray(pad(m.lm_desc[cand])),
-            jnp.asarray(masks),
-            jnp.asarray(m.kf_kp_uv[sl]), jnp.asarray(m.kf_kp_level[sl]),
-            jnp.asarray(m.kf_desc[sl]), jnp.asarray(valids),
+            cfg.project_fn, jnp.asarray(Rs), jnp.asarray(ts),
+            jnp.asarray(pos), jnp.asarray(normal),
+            jnp.asarray(min_d), jnp.asarray(max_d),
+            jnp.asarray(desc), jnp.asarray(masks),
+            jnp.asarray(uv), jnp.asarray(lev),
+            jnp.asarray(fdesc), jnp.asarray(valids),
             cfg.width, cfg.height, th=3.0, max_dist=50.0,
             max_theta_deg=cfg.max_theta_deg,
         )
-        return nbs, cand, out[:2], lms_kf, obs
+        return out[:2]
 
     def _fuse_apply(self, nbs, cand, lm_slot_all, ok_all, lms_kf, obs):
         """Host-side binding / duplicate resolution.  A Replace in an
@@ -431,13 +462,15 @@ class LocalMapper:
         m = self.map
         with m.lock:
             prob = self._local_ba_assemble(kf, window=window)
-            if prob is None:
-                return
-            out = bundle_adjust(*prob["args"], n_iters=self.ba_iters,
-                                wide_fov=self.cfg.camera_model == "kb8",
-                                **prob["stereo_kw"])
-        # The solve runs while the lock is free (tracker interleaves);
-        # only the write-back below re-acquires it.
+        if prob is None:
+            return
+        # Trace + dispatch + solve run while the lock is free (the tracker
+        # interleaves — and a new shape-bucket variant's multi-second
+        # trace must never happen under the lock); only the write-back
+        # re-acquires it.
+        out = bundle_adjust(*prob["args"], n_iters=self.ba_iters,
+                            wide_fov=self.cfg.camera_model == "kb8",
+                            **prob["stereo_kw"])
         R, t, X_new, chi2 = jax.device_get(out[:4])
         with m.lock:
             self._local_ba_apply(prob, R, t, X_new, chi2)
