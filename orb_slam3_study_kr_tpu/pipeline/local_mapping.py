@@ -388,6 +388,10 @@ class LocalMapper:
                 self.stats["n_fused"] += 1
         m.n_lm = int(m.lm_valid.sum())
         m.update_landmark_stats(lms_kf)
+        # Fusion binds/replaces/invalidates landmarks through direct table
+        # writes: bump the change index so the tracker's cached candidate
+        # block refreshes validity/normals/obs next frame.
+        m.change_idx += 1
 
     # ------------------------------------------------------------------
     def _cull_keyframes(self, kf: int):

@@ -1127,7 +1127,7 @@ class MonoTracker:
         row_of = np.full(m.max_lm, -1, np.int32)
         row_of[cand] = np.arange(cand.size, dtype=np.int32)
         blk = dict(
-            change_idx=m.change_idx,
+            change_idx=m.change_idx, member_idx=m.member_idx, map_ref=m,
             cand=cand, ref_kf=ref_kf, row_of=row_of, obs=obs,
             pos=jnp.asarray(_pad_rows(m.lm_pos[cand], L)),
             desc=jnp.asarray(_pad_rows(m.lm_desc[cand], L)),
@@ -1141,6 +1141,24 @@ class MonoTracker:
         )
         self._fblk = blk
         return blk
+
+    def _geo_refresh_fused_block(self, blk):
+        """Cheap per-change refresh: membership (and so row layout,
+        descriptors, patches) is unchanged — only geometry, validity and
+        observation counts moved (local BA, culling, stats updates, loop
+        corrections).  Re-uploads ~150 KB instead of the ~1.6 MB full
+        block."""
+        m = self.map
+        cand = blk["cand"]
+        L = blk["pos"].shape[0]
+        blk["pos"] = jnp.asarray(_pad_rows(m.lm_pos[cand], L))
+        blk["normal"] = jnp.asarray(_pad_rows(m.lm_normal[cand], L))
+        blk["min_d"] = jnp.asarray(_pad_rows(m.lm_min_dist[cand], L))
+        blk["max_d"] = jnp.asarray(_pad_rows(m.lm_max_dist[cand], L))
+        blk["mask_all"] = jnp.asarray(_pad_rows(
+            m.lm_valid[cand].astype(np.float32), L))
+        blk["obs"] = m.landmark_obs_count()
+        blk["change_idx"] = m.change_idx
 
     def _track_fused_frame(self, frame: Frame, R_pred=None, t_pred=None):
         """The whole per-frame tracking slice in ONE dispatch + ONE fetch
@@ -1173,10 +1191,13 @@ class MonoTracker:
             if lm_ids.size < 3:
                 return None
             blk = getattr(self, "_fblk", None)
-            if blk is None or blk["change_idx"] != m.change_idx:
+            if (blk is None or blk["map_ref"] is not m
+                    or blk["member_idx"] != m.member_idx):
                 blk = self._refresh_fused_block(lm_ids, L)
                 if blk is None:
                     return None
+            elif blk["change_idx"] != m.change_idx:
+                self._geo_refresh_fused_block(blk)
             if cfg.mm_mature_only:
                 mature = lm_ids[blk["obs"][lm_ids] >= 3]
                 if mature.size >= 2 * cfg.min_track_matches:

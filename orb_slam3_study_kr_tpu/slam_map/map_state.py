@@ -76,6 +76,13 @@ class MapState:
                                      # bindings in frames can never silently
                                      # point at a different landmark
     change_idx: int = 0              # reference Map change index semantics
+    member_idx: int = 0              # bumped ONLY when new landmarks enter
+                                     # the map (add_landmarks / merge): the
+                                     # tracker's cached device candidate
+                                     # block needs a row reassignment then;
+                                     # every other change (BA geometry,
+                                     # culls, stats) rides the cheap
+                                     # change_idx geometry refresh
     scale_factor: float = 1.2
     n_levels: int = 8
 
@@ -245,6 +252,7 @@ class MapState:
         self.lm_found[ids] = 1
         self.n_lm = int(self.lm_valid.sum())
         self.change_idx += 1
+        self.member_idx += 1
         return ids
 
     def apply_scaled_rotation(self, R_gw, scale):
