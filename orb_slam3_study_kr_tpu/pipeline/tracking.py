@@ -120,6 +120,14 @@ class TrackerConfig:
     # Whole-frame fused slice (flow + motion model + local rounds in ONE
     # dispatch); falls back to the split path on low inliers.
     fused_frame: bool = True
+    fused_local_rounds: int = 2   # local-map match/solve rounds in-program
+    fused_th_wide: float = 3.0    # motion-model window radius (x sigma)
+    # Pose sanity gate: reject a frame whose camera-center step exceeds
+    # med_mult*median + std_mult*std of the recent steps (a coherent
+    # aliased misregistration, not motion).  With the flow pre-solve the
+    # retry is cheap and reliable, so the gate can run tight.
+    sanity_med_mult: float = 3.0
+    sanity_std_mult: float = 1.5
     seed: int = 0
 
     @functools.cached_property
@@ -617,7 +625,8 @@ class MonoTracker:
             step = _step_of(frame)
             if len(self._speed_hist) >= 5:
                 med = float(np.median(self._speed_hist))
-                thresh = 6.0 * med + 3.0 * np.std(self._speed_hist)
+                thresh = (cfg.sanity_med_mult * med
+                          + cfg.sanity_std_mult * np.std(self._speed_hist))
                 if med > 1e-9 and step > thresh:
                     # Before rejecting, retry once from the reference
                     # keyframe with fresh matches and no velocity prior —
@@ -1275,6 +1284,8 @@ class MonoTracker:
                 self._level_wh if use_klt else jnp.ones((1, 2), jnp.float32),
                 cfg.width, cfg.height,
                 jnp.int32(cfg.min_track_matches),
+                th_wide=cfg.fused_th_wide,
+                n_local_rounds=cfg.fused_local_rounds,
                 scale_factor=cfg.orb_scale_factor,
                 n_levels=cfg.orb_n_levels,
                 max_theta_deg=cfg.max_theta_deg,

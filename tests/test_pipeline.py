@@ -1,11 +1,12 @@
 """End-to-end monocular SLAM integration tests (SURVEY.md section 4 oracle:
 run a sequence, save the trajectory, score RMS ATE).
 
-Thresholds reflect measured round-1 behavior on these synthetic worlds
-(see NOTES.md): the association layer currently costs ~10% relative drift
-on adversarial self-similar texture; oracle-association runs of the same
-pipeline score at the millimeter level, so the thresholds below tighten as
-the matcher improves."""
+Thresholds reflect measured round-5 behavior on these synthetic worlds
+(see NOTES.md): the flow-anchored pose pre-solve + tight sanity gate cut
+the lateral-world scale-aligned ATE to 0.016-0.037 over 6 seeds (the
+round-1 association layer cost ~10% relative drift); oracle-association
+runs score at the millimeter level, so the walls tighten further as the
+matcher improves."""
 
 import numpy as np
 import pytest
@@ -43,7 +44,7 @@ def test_mono_slam_smoke():
     _, rmse, nm = _run(slam, world, R_gt, t_gt, True, rng)
     assert slam.state == TrackState.OK, slam.stats()
     assert nm > 10
-    assert rmse < 0.2, f"smoke ATE {rmse:.4f}"
+    assert rmse < 0.05, f"smoke ATE {rmse:.4f}"
 
 
 @pytest.mark.slow
@@ -61,7 +62,9 @@ def test_mono_slam_textured_lateral(tmp_path):
     assert slam.state == TrackState.OK, stats
     assert stats["n_kf"] >= 3, stats
     assert nm > 25
-    assert rmse < 0.15, f"ATE {rmse:.4f} m over {nm} frames ({stats})"
+    # Tightened round 5 (flow pre-solve + tight sanity gate): measured
+    # 0.016-0.037 scale-aligned over 6 seeds (mean 0.023, NOTES.md).
+    assert rmse < 0.06, f"ATE {rmse:.4f} m over {nm} frames ({stats})"
 
     path = tmp_path / "traj.txt"
     slam.save_trajectory_tum(path)
@@ -85,4 +88,4 @@ def test_mono_slam_blob_orbit_robustness():
     assert slam.state in (TrackState.OK, TrackState.RECENTLY_LOST), stats
     assert stats["n_kf"] >= 2
     assert nm >= 15, f"only {nm} evaluated frames"
-    assert rmse < 0.5, f"ATE {rmse:.4f} over {nm} frames ({stats})"
+    assert rmse < 0.25, f"ATE {rmse:.4f} over {nm} frames ({stats})"
