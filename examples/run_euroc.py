@@ -132,9 +132,24 @@ def run_sequence(slam, seq, args, inertial):
     n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
     t_prev = None
     imu_dt = 1.0 / float(slam.cfg.imu_freq or 200.0)
+    # One-image lookahead (mono paths): decode frame i+1 and prefetch its
+    # device upload before tracking frame i, so the H2D transfer overlaps
+    # the tracker's device round trip (SlamSystem.upload_image).  Stereo
+    # keeps per-frame host reads: the rectifier remaps on host after the
+    # read, so a raw prefetch would be discarded.
+    stereo = args.sensor.startswith("stereo")
+    pending = None
     for i in range(n):
         ts = float(seq.cam0_ts[i])
-        img = seq.image(i)
+        if pending is not None:
+            img = pending
+        else:
+            img = seq.image(i)
+            if not stereo:
+                img = slam.upload_image(img)
+        pending = None
+        if not stereo and i + 1 < n:
+            pending = slam.upload_image(seq.image(i + 1))
         imu = None
         if inertial and seq.imu_ts is not None:
             t0 = t_prev if t_prev is not None else ts - imu_dt

@@ -66,6 +66,9 @@ def main(argv=None):
     n = len(seq) if args.max_frames is None else min(len(seq),
                                                      args.max_frames)
     t_wall0 = time.perf_counter()
+    # Mono path: one-image lookahead so the H2D upload overlaps the
+    # tracker's device round trip (SlamSystem.upload_image).
+    pending = None
     for i in range(n):
         if args.pace and i > 0:
             lag = seq.ts[i] - (time.perf_counter() - t_wall0)
@@ -74,7 +77,11 @@ def main(argv=None):
         if args.sensor == "stereo":
             slam.track_stereo(seq.image(i, 0), seq.image(i, 1), seq.ts[i])
         else:
-            slam.track_monocular(seq.image(i, 0), seq.ts[i])
+            img = pending if pending is not None \
+                else slam.upload_image(seq.image(i, 0))
+            pending = (slam.upload_image(seq.image(i + 1, 0))
+                       if i + 1 < n else None)
+            slam.track_monocular(img, seq.ts[i])
     slam.flush()
     slam.save_trajectory_kitti(args.out)
     st = slam.stats()
